@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * spark-submit entry point for the full KG-construction job (north rule: "run via
+ * spark-submit ... at two cluster sizes").
+ *
+ * Usage: RunKG [nPages] [outDir] [cores]
+ * Synthesizes the deterministic corpus (seed 42), runs the full pipeline
+ * (annotate → learn → gate → extract → link → canonicalize), materializes
+ * subject-bucketed triples + checkpoints under outDir, prints one JSON metrics line.
+ */
+object RunKG {
+  def main(args: Array[String]): Unit = {
+    val nPages = if (args.length > 0) args(0).toInt else 500
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_kg_out"
+    val cores = if (args.length > 2) args(2).toInt
+                else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    implicit val spark: SparkSession = graft.util.Sessions.local(cores, "graft-kg")
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    val gen = graft.testgen.CorpusGen.pages(nPages)
+    val nTrain = math.min(nPages / 4, 200)
+    val pages = spark.createDataset(gen.map(_.page)).repartition(cores * 2)
+    val goldAnnots = spark.createDataset(
+      gen.take(nTrain).flatMap(graft.testgen.CorpusGen.goldAnnotations))
+
+    val cps = graft.pipeline.KGPipeline.runAndWrite(
+      pages, goldAnnots, graft.testgen.CorpusGen.gazetteer, outDir)
+    val rows = cps.agg(org.apache.spark.sql.functions.sum("rows_out")).head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"job":"kg","pages":$nPages,"triples":$rows,"sec":$sec%.2f,""" +
+      f""""docs_per_sec":${nPages / sec}%.1f,"triples_per_sec":${rows / sec}%.1f,"cores":$cores}""")
+    spark.stop()
+  }
+}

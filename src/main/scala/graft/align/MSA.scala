@@ -1,0 +1,53 @@
+package graft.align
+
+/**
+ * Pattern induction from pairwise alignments — the reference's
+ * MultipleSequenceAlignment (/root/reference/src/msa/MultipleSequenceAlignment.java:9-260)
+ * re-expressed: an alignment's matched anchor labels, with `-` fillers where either
+ * sequence skipped columns, render a pattern; identical patterns across pairs accumulate
+ * multiplicity ("rows", ref GenMSA.java:597-615), and only patterns seen ≥ minRows times
+ * survive (ref getTotal() >= msaMinRows, GenMSA.java:636).
+ *
+ * Golden semantics (ref MultipleSequenceAlignment.main :355-374):
+ * rows "there is a ##" + "is a large and big ##" → profile "is a - ##".
+ */
+object MSA {
+
+  /** Alignment quality gates — the reference's countGaps/countSyntax limits
+    * (/root/reference/src/msa/MSAUtils.java:17-55, applied GenMSA.java:514-541). */
+  final case class Gates(maxGaps: Int = 4, minAnchors: Int = 2, minScore: Double = 0.0)
+
+  /**
+   * Render the pattern token sequence from an alignment: anchors in order; a single
+   * `:gap` filler wherever consecutive anchors skip ≥1 column on either side.
+   * Returns None when gates fail or the target slot is not anchored.
+   */
+  def toPattern(al: SmithWaterman.Alignment, gates: Gates = Gates()): Option[Vector[String]] = {
+    if (!al.coversTarget) return None
+    if (al.anchors.length < gates.minAnchors) return None
+    if (al.gapCount > gates.maxGaps) return None
+    val out = Vector.newBuilder[String]
+    var k = 0
+    while (k < al.anchors.length) {
+      if (k > 0) {
+        val prev = al.anchors(k - 1); val cur = al.anchors(k)
+        if (cur.i - prev.i > 1 || cur.j - prev.j > 1) out += Grid.Gap
+      }
+      out += al.anchors(k).label
+      k += 1
+    }
+    Some(out.result())
+  }
+
+  /** Human-readable profile string: labels joined, `:gap` rendered "-". */
+  def render(toks: Seq[String]): String =
+    toks.map {
+      case Grid.Gap => "-"
+      case t => t
+    }.mkString(" ")
+
+  /** Canonical key for deterministic profile-id derivation (ids must be derived, not
+    * assigned — SURVEY.md §7.4.4). */
+  def canonicalKey(annotType: String, toks: Seq[String]): String =
+    annotType + "\u0001" + toks.mkString("\u0001")
+}

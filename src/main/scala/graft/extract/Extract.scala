@@ -1,0 +1,103 @@
+package graft.extract
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.align.Grid
+import graft.model.{Mention, Pattern, SentenceAnnots, Triple}
+
+/**
+ * Extraction: apply the final (precision-gated) pattern set to all sentences and emit
+ * mentions, then join mentions into raw triples — the reference's AutoAnnotate /
+ * AutoAnnotateNER → PopulateFrame path
+ * (/root/reference/src/msa/AutoAnnotateNER.java:483-972, PopulateFrame.java:60-314).
+ *
+ * Triple shape: for each extracted (pred = pattern annotType, obj = target value), the
+ * subject is the nearest preceding entity Lookup in the same sentence (the reference's
+ * frame instance ↔ document join becomes a sentence-local subject resolution), falling
+ * back to the page host. Adjacent extracted spans that touch (end == next begin or +1)
+ * merge into one larger entity (ref AutoAnnotate.java:929-1034) — the classic
+ * sessionization window idiom, W4.
+ */
+object Extract {
+
+  /** Extract typed mentions from all sentences with the broadcast final pattern set. */
+  def mentions(sentences: Dataset[SentenceAnnots], finalPatterns: Seq[Pattern],
+      prm: PatternMatcher.Params = PatternMatcher.Params())(
+      implicit spark: SparkSession): Dataset[Mention] = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(finalPatterns))
+    sentences.mapPartitions { it =>
+      val index = idxB.value
+      it.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
+        else PatternMatcher.matchAll(grid, index, prm).iterator.map { h =>
+          Mention(s.url, h.pattern.annotType, h.targetBegin, h.targetEnd,
+            PatternMatcher.trimTrailingPunct(h.value), h.pattern.profileId,
+            h.pattern.score)
+        }
+      }
+    }
+  }
+
+  /**
+   * W4 adjacent-entity merge (sessionization): mentions of the same type in the same
+   * page whose spans touch (gap ≤ 1 char) merge into one mention spanning both
+   * (ref AutoAnnotate.java:929-1034). lag → running group-id sum → group agg.
+   */
+  def mergeAdjacent(ms: Dataset[Mention])(implicit spark: SparkSession): Dataset[Mention] = {
+    import spark.implicits._
+    val w = Window.partitionBy($"url", $"annotType").orderBy($"begin", $"end")
+    ms.toDF()
+      .withColumn("prevEnd", lag($"end", 1).over(w))
+      .withColumn("newGrp",
+        when($"prevEnd".isNull || $"begin" > $"prevEnd" + 1, 1).otherwise(0))
+      .withColumn("grp", sum($"newGrp").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"url", $"annotType", $"grp")
+      .agg(min($"begin").as("begin"), max($"end").as("end"),
+        concat_ws(" ", collect_list($"value")).as("value"),
+        min($"profileId").as("profileId"), max($"score").as("score"))
+      .select($"url", $"annotType", $"begin", $"end", $"value", $"profileId", $"score")
+      .as[Mention]
+  }
+
+  /**
+   * Resolve subjects sentence-locally and emit raw triples. Entity Lookups (majorType
+   * == subjectMajorType) that precede the mention in the same sentence provide the
+   * subject; otherwise the url host does.
+   */
+  def triples(sentences: Dataset[SentenceAnnots], ms: Dataset[Mention],
+      subjectMajorType: String = "entity")(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    // candidate subjects per page: entity Lookup spans
+    val subjects = sentences.flatMap { s =>
+      s.annots.filter(a => a.annotType == "Lookup" &&
+          a.features.getOrElse("majorType", "") == subjectMajorType)
+        .map(a => (s.url, s.sentBegin, s.sentEnd, a.begin, a.end, a.value))
+    }.toDF("url", "sb", "se", "ab", "ae", "subjVal")
+
+    val m = ms.toDF()
+    // subject = nearest preceding (or first following) entity lookup in the sentence
+    // containing the mention; one window argmin after a per-page equi-join.
+    val joined = m.join(subjects, Seq("url"), "left")
+      .withColumn("inSent",
+        $"sb".isNotNull && $"begin" >= $"sb" && $"begin" < $"se" &&
+          !($"ab" === $"begin" && $"ae" === $"end")) // a mention is not its own subject
+      .withColumn("dist",
+        when(!$"inSent", lit(2000000))
+          .when($"ae" <= $"begin", $"begin" - $"ae")         // preceding: distance
+          .otherwise(lit(1000000) + ($"ab" - $"begin")))     // following: penalized
+    val w = Window.partitionBy($"url", $"annotType", $"begin", $"end")
+      .orderBy($"dist".asc, $"ab".asc)
+    joined.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select(
+        when($"inSent", $"subjVal")
+          .otherwise(regexp_extract($"url", "^[a-z]+://([^/]+)", 1)).as("subj"),
+        $"annotType".as("pred"), $"value".as("obj"), $"url", $"begin", $"end",
+        $"profileId", $"score")
+      .as[Triple]
+  }
+}

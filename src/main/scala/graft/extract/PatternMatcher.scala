@@ -1,0 +1,177 @@
+package graft.extract
+
+import scala.collection.mutable
+import graft.align.{Grid, GridCol}
+import graft.model.Pattern
+
+/**
+ * Pattern → sentence matching, the extraction kernel. Capability-equivalent to the
+ * reference's ProfileMatcher.matchProfile / MSAUtils.matchProfile2
+ * (/root/reference/src/msa/ProfileMatcher.java:98-858, src/msa/MSAUtils.java:207-501):
+ * a pattern is a label sequence with one `:target` slot and `:gap` wildcards; matching
+ * enumerates every assignment of pattern elements to increasing grid columns where
+ * non-gap neighbours are consecutive, a `:gap` spans 1..maxGapSpan columns, and the
+ * target slot consumes 1..maxTargetLen columns. Candidate pruning uses a counting
+ * inverted index over labels (ref ProfileInvertedIndex.java:147-336 semantics: a pattern
+ * is only attempted when all its literal labels occur in the sentence). Overlapping
+ * matches are suppressed longest-pattern-first then leftmost-shortest (ref
+ * ProfileMatcher.java:705-730 + longest-first ordering ProfileReader.java:354-383).
+ *
+ * Pure Scala, deterministic; runs inside mapPartitions with the compiled pattern set
+ * broadcast (the north rule's executor-side automaton).
+ */
+object PatternMatcher {
+
+  final case class Params(maxGapSpan: Int = 3, maxTargetLen: Int = 5, maxGridLen: Int = 300)
+
+  final case class Compiled(pattern: Pattern, elems: Vector[String], literals: Vector[String])
+
+  final case class Hit(pattern: Pattern, targetBegin: Int, targetEnd: Int, value: String)
+
+  def compile(p: Pattern): Compiled = {
+    // collapse consecutive :target labels to one slot
+    val elems = p.toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+      if (t == Grid.Target && acc.lastOption.contains(Grid.Target)) acc else acc :+ t
+    }
+    val lits = elems.filter(t => t != Grid.Target && t != Grid.Gap).toVector
+    Compiled(p, elems, lits)
+  }
+
+  /** Counting inverted index: label → pattern ordinals; candidate when every literal
+    * label of the pattern occurs in the grid. */
+  final class Index(val compiled: IndexedSeq[Compiled]) extends Serializable {
+    private val postings: Map[String, Array[Int]] = {
+      val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+      compiled.zipWithIndex.foreach { case (c, i) =>
+        c.literals.distinct.foreach(l => m.getOrElseUpdate(l, mutable.ArrayBuffer.empty) += i)
+      }
+      m.iterator.map { case (k, v) => (k, v.toArray) }.toMap
+    }
+    private val required: Array[Int] = compiled.map(_.literals.distinct.size).toArray
+
+    def candidates(labels: Set[String]): Vector[Compiled] = {
+      val counts = new Array[Int](compiled.size)
+      labels.foreach { l =>
+        postings.get(l).foreach(_.foreach(i => counts(i) += 1))
+      }
+      val out = Vector.newBuilder[Compiled]
+      var i = 0
+      while (i < counts.length) {
+        if (required(i) > 0 && counts(i) >= required(i)) out += compiled(i)
+        i += 1
+      }
+      out.result()
+    }
+  }
+
+  def buildIndex(patterns: Seq[Pattern]): Index = {
+    // longest-pattern-first match priority (ref ProfileReader.java:354-383), ties by
+    // canonical key for determinism
+    val sorted = patterns.sortBy(p => (-p.toks.size, p.annotType, p.toks.mkString("")))
+    new Index(sorted.map(compile).toIndexedSeq)
+  }
+
+  /** All raw target spans (char offsets) for one compiled pattern on one grid. */
+  def matchOne(grid: Grid, c: Compiled, prm: Params = Params()): Vector[(Int, Int)] = {
+    val cols = grid.cols
+    val n = cols.size
+    if (n > prm.maxGridLen) return Vector.empty // ref maxGridLen cap, ProfileMatcher.java:32,121
+    val results = mutable.LinkedHashSet.empty[(Int, Int)]
+
+    // backtracking: place elems(k) starting at column index ci
+    def place(k: Int, ci: Int, mustBeAdjacent: Boolean, tb: Int, te: Int): Unit = {
+      if (k == c.elems.length) {
+        if (tb >= 0) results += ((tb, te))
+        return
+      }
+      val elem = c.elems(k)
+      if (elem == Grid.Gap) {
+        // gap consumes 0..maxGapSpan columns before the next element (lenient at match
+        // time; precision is enforced downstream by the stats gate)
+        var skip = 0
+        while (skip <= prm.maxGapSpan && ci + skip <= n) {
+          place(k + 1, ci + skip, mustBeAdjacent = true, tb, te)
+          skip += 1
+        }
+        // note: the skipped columns start at ci; next element must start at ci+skip
+      } else if (elem == Grid.Target) {
+        var len = 1
+        while (len <= prm.maxTargetLen && ci + len <= n) {
+          var ok = true
+          var t = ci
+          while (ok && t < ci + len) {
+            // target columns must be real tokens (not sentinels)
+            val col = cols(t)
+            if (col.has(Grid.Start) || col.has(Grid.End)) ok = false
+            t += 1
+          }
+          if (ok) place(k + 1, ci + len, mustBeAdjacent = true,
+            cols(ci).begin, cols(ci + len - 1).end)
+          len += 1
+        }
+      } else {
+        if (mustBeAdjacent) {
+          if (ci < n && cols(ci).has(elem))
+            place(k + 1, ci + 1, mustBeAdjacent = true, tb, te)
+        } else {
+          // first literal: try every start column
+          var s = ci
+          while (s < n) {
+            if (cols(s).has(elem)) place(k + 1, s + 1, mustBeAdjacent = true, tb, te)
+            s += 1
+          }
+        }
+      }
+    }
+    place(0, 0, mustBeAdjacent = false, -1, -1)
+    // Minimal-span rule: among spans sharing a target start, keep the shortest valid
+    // one. A right-context anchor already forces the exact span; with no right anchor
+    // the unbounded tail would otherwise enumerate 1..maxTargetLen FP spans per site
+    // (the reference ties target extent to a separate target pattern instead —
+    // src/msa/MSAUtils.java:443-491; minimal-span is our deterministic equivalent).
+    results.toVector.groupBy(_._1).valuesIterator
+      .map(_.minBy(_._2)).toVector.sortBy(identity)
+  }
+
+  /**
+   * Match a full (indexed) pattern set against one grid with overlap suppression:
+   * patterns tried longest-first; a hit whose target span is contained within an
+   * already-accepted hit's span is dropped (ref ProfileMatcher.java:705-730).
+   */
+  def matchAll(grid: Grid, index: Index, prm: Params = Params(),
+      suppressOverlaps: Boolean = true): Vector[Hit] = {
+    val cands = index.candidates(grid.labelSet)
+    val accepted = mutable.ArrayBuffer.empty[Hit]
+    cands.foreach { c =>
+      matchOne(grid, c, prm)
+        .sortBy { case (b, e) => (b, e - b) } // leftmost, then shortest
+        .foreach { case (b, e) =>
+          // drop any hit overlapping an already-accepted span: higher-priority
+          // (longer) patterns own their sites (ref targetRangeList,
+          // ProfileMatcher.java:527-540)
+          val overlaps = suppressOverlaps &&
+            accepted.exists(h => h.targetBegin < e && h.targetEnd > b)
+          if (!overlaps) {
+            val value = coveredText(grid, b, e)
+            accepted += Hit(c.pattern, b, e, value)
+          }
+        }
+    }
+    accepted.toVector
+  }
+
+  private def coveredText(grid: Grid, b: Int, e: Int): String =
+    grid.cols.filter(c => c.begin >= b && c.end <= e && c.end > c.begin)
+      .sortBy(_.begin).map(_.text).filter(_.nonEmpty).mkString(" ")
+
+  /** Strip a final non-letter from an extracted value (ref AutoAnnotate.java:622-629). */
+  def trimTrailingPunct(v: String): String =
+    if (v.nonEmpty && !v.last.isLetter && !v.last.isDigit) v.dropRight(1).trim else v
+
+  /** All-caps sentence guard (ref AutoAnnotate.java:459-484): true when every alpha
+    * token is all-caps — such sentences are skipped at extraction time. */
+  def isAllCapsSentence(grid: Grid): Boolean = {
+    val wordCols = grid.cols.filter(_.labels.exists(_.startsWith(":token|orth|")))
+    wordCols.nonEmpty && wordCols.forall(_.has(":token|orth|allcaps"))
+  }
+}

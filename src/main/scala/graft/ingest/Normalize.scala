@@ -1,0 +1,34 @@
+package graft.ingest
+
+/**
+ * Text normalization — the byte-identity invariant.
+ *
+ * Mirrors the reference's document-text preparation exactly
+ * (/root/reference/src/gate/GateBatch.java:327-352): `trim()`, strip every `\r`,
+ * reject documents with no `[a-zA-Z0-9]` anywhere (DOTALL regex at :327, `m.matches()`
+ * gate at :346), then the text the annotator sees gains one trailing `\n` because the
+ * reference writes it with `println` (:347-349). All annotation offsets are relative to
+ * this normalized text.
+ *
+ * Pure, deterministic, total: the per-url golden SHA-256 test pins these bytes.
+ */
+object Normalize {
+  private val HasAlnum = java.util.regex.Pattern.compile(".*[a-zA-Z0-9]+.*",
+    java.util.regex.Pattern.DOTALL)
+
+  /** trim + strip \r; None when the alnum gate rejects the doc. No trailing \n yet. */
+  def clean(raw: String): Option[String] = {
+    if (raw == null) return None
+    val t = raw.trim.replace("\r", "")
+    if (HasAlnum.matcher(t).matches()) Some(t) else None
+  }
+
+  /** The exact byte stream the annotation stage consumes (clean + trailing \n). */
+  def normalize(raw: String): Option[String] = clean(raw).map(_ + "\n")
+
+  def sha256(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+}

@@ -1,0 +1,119 @@
+package graft.learn
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.align.{Grid, MSA, SmithWaterman}
+import graft.model.{Pattern, SentenceAnnots}
+
+/**
+ * Pattern learning: blocked all-pairs sentence alignment → profiles.
+ *
+ * The Spark shape of the reference's GenMSA/GenMSADriver
+ * (/root/reference/src/msa/GenMSA.java:387-618, GenMSADriver.java:417-821): sentences
+ * containing a gold target span of type T are target-centred and trimmed (±trimSize,
+ * ref GenAnnotationGrid.java:376-396), grouped into blocks of `blockSize` sentences
+ * (ref msaBlockSize=20, config/ie.properties:106 — cross-block pairs intentionally never
+ * align, exactly the reference's semantics, GenMSADriver.java:539-586), each block
+ * aligned all-pairs with the SW kernel, surviving alignments rendered to pattern token
+ * sequences, identical sequences counted ("rows"), and patterns with rows >= minRows
+ * kept (ref GenMSA.java:636).
+ *
+ * Scale shape: block assignment is one window rank over the (small, validated) training
+ * slice; the O(B²·L²) kernel runs inside flatMapGroups per block, embarrassingly
+ * parallel across blocks. Profile ids are derived by dense_rank over the canonical
+ * pattern key — never auto-assigned — so ids are identical at any parallelism
+ * (SURVEY.md §7.4.4).
+ */
+object GenMSA {
+
+  final case class Config(
+      blockSize: Int = 20,
+      trimSize: Int = 10,
+      minRows: Int = 2,
+      gates: MSA.Gates = MSA.Gates(),
+      swParams: SmithWaterman.Params = SmithWaterman.Params())
+
+  /** One target-centred training grid, keyed for blocking. */
+  private final case class TrainRow(annotType: String, url: String, sentBegin: Int,
+      sentEnd: Int)
+
+  /**
+   * Learn patterns from sentences whose annotations include gold target spans with
+   * provenance `goldProvenance`. Gold target annotations define both the target type
+   * (annotType) and its span.
+   */
+  def learn(sentences: Dataset[SentenceAnnots], goldProvenance: String = "gold",
+      cfg: Config = Config())(implicit spark: SparkSession): Dataset[Pattern] = {
+    import spark.implicits._
+
+    // (annotType, sentence) pairs that contain a gold target of that type
+    val train = sentences.flatMap { s =>
+      s.annots.filter(_.provenance == goldProvenance).map(_.annotType).distinct
+        .map(t => (t, s))
+    }.toDF("annotType", "sent")
+
+    // deterministic block id: rank within annotType ordered by (url, sentBegin)
+    val w = Window.partitionBy($"annotType").orderBy($"sent.url", $"sent.sentBegin")
+    val blocked = train
+      .withColumn("blockId", ((row_number().over(w) - lit(1)) / lit(cfg.blockSize)).cast("int"))
+
+    val rawPatterns = blocked
+      .select($"annotType".as("_1"), $"sent".as("_2"), $"blockId".as("_3"))
+      .as[(String, SentenceAnnots, Int)]
+      .groupByKey { case (t, _, b) => (t, b) }
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, SentenceAnnots, Int)]) =>
+        val sents = it.map(_._2).toVector.sortBy(s => (s.url, s.sentBegin))
+        alignBlock(key._1, sents, goldProvenance, cfg).iterator
+      }
+      .toDF("annotType", "toks")
+
+    // multiplicity + minRows gate + derived profile ids
+    val counted = rawPatterns
+      .groupBy($"annotType", $"toks")
+      .agg(count(lit(1)).as("rows"))
+      .filter($"rows" >= cfg.minRows)
+      .withColumn("key", concat_ws("\u0001", $"annotType", concat_ws("\u0001", $"toks")))
+      .withColumn("profileId", dense_rank().over(Window.orderBy($"key")).cast("long"))
+      .drop("key")
+
+    counted.select(
+      $"profileId",
+      $"toks",
+      $"annotType",
+      when(array_contains($"toks", Grid.Target) &&
+           size($"toks") === lit(1), lit(1)).otherwise(lit(0)).as("profileType"),
+      lit("msa").as("group"),
+      lit(0.0).as("score"),
+      lit(0L).as("truePos"),
+      lit(0L).as("falsePos"),
+      $"rows"
+    ).as[Pattern]
+  }
+
+  /** All-pairs alignment within one block (pure; unit-testable). */
+  def alignBlock(annotType: String, sents: Vector[SentenceAnnots],
+      goldProvenance: String, cfg: Config): Vector[(String, Seq[String])] = {
+    val grids = sents.flatMap { s =>
+      val targets = s.annots
+        .filter(a => a.provenance == goldProvenance && a.annotType == annotType)
+        .map(a => (a.begin, a.end))
+      val g = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots, targets)
+      Grid.trimAroundTarget(g, cfg.trimSize)
+    }
+    val out = Vector.newBuilder[(String, Seq[String])]
+    var i = 0
+    while (i < grids.length) {
+      var j = i + 1
+      while (j < grids.length) {
+        val al = SmithWaterman.align(grids(i), grids(j), cfg.swParams)
+        MSA.toPattern(al, cfg.gates).foreach { toks =>
+          out += ((annotType, toks))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+}

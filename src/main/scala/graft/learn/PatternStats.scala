@@ -1,0 +1,119 @@
+package graft.learn
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.align.Grid
+import graft.extract.PatternMatcher
+import graft.model.{Pattern, PatternMatch, SentenceAnnots}
+
+/**
+ * Pattern precision statistics and filtering — the reference's FilterPatterns /
+ * BestPatterns (/root/reference/src/msa/BestPatterns.java:417-567, ProfileStats.java)
+ * as declarative Spark aggregations:
+ *
+ *  A1  TP/FP counting per pattern with a per-doc cap of 50 counted matches
+ *      (ref BestPatterns.java:441-443,468-470) — pre-aggregate per (pattern, url) with
+ *      least(count, 50) so the cap is map-side and skew-proof.
+ *  A2  precision = tp / (tp + fp − 1) with the reference's −1 correction
+ *      (BestPatterns.java:528-529), promote at prec ≥ posThreshold ∧ total ≥ minCount.
+ *  W1  overlap resolution: among patterns matching the same (url, begin) site keep the
+ *      best (min score = patternLen − freq normalization, max total) via one window
+ *      (BestPatterns.java:865-935).
+ *
+ * Matching itself runs executor-side with the compiled pattern index broadcast.
+ */
+object PatternStats {
+
+  final case class Config(
+      posThreshold: Double = 0.9,
+      minCount: Long = 2,
+      evalTolerance: Int = 1,
+      matcher: PatternMatcher.Params = PatternMatcher.Params())
+
+  /** Apply a pattern set to sentences → match occurrences (the `index` table analog). */
+  def applyPatterns(sentences: Dataset[SentenceAnnots], patterns: Seq[Pattern],
+      cfg: Config = Config())(implicit spark: SparkSession): Dataset[PatternMatch] = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(patterns))
+    sentences.mapPartitions { it =>
+      val index = idxB.value
+      it.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
+        // stats count RAW per-pattern matches: the reference computes precision before
+        // overlap filtering (BestPatterns.filterOverlapping runs after the stats pass)
+        else PatternMatcher.matchAll(grid, index, cfg.matcher,
+          suppressOverlaps = false).iterator.map { h =>
+          PatternMatch(h.pattern.profileId, h.pattern.profileId, s.url,
+            h.targetBegin, h.targetEnd, PatternMatcher.trimTrailingPunct(h.value))
+        }
+      }
+    }
+  }
+
+  /**
+   * Score matches against gold spans with ±tolerance boundary matching
+   * (ref MSAUtils.matchAnswer, /root/reference/src/msa/MSAUtils.java:705-763: the
+   * predicted key is probed at {-1,0,+1}² offsets). Implemented scale-first: the
+   * predicted side explodes its (begin,end) key into the 9 tolerant variants and
+   * equi-joins gold — no O(n²) theta join.
+   */
+  def score(matches: Dataset[PatternMatch], gold: DataFrame, patterns: Dataset[Pattern],
+      cfg: Config = Config())(implicit spark: SparkSession): Dataset[Pattern] = {
+    import spark.implicits._
+    val tol = (-cfg.evalTolerance to cfg.evalTolerance).toSeq
+    val variants = tol.flatMap(db => tol.map(de => (db, de)))
+    val exploded = matches.toDF()
+      .withColumn("v", explode(typedLit(variants.map(v => v._1 + ":" + v._2))))
+      .withColumn("gb", $"begin" + split($"v", ":")(0).cast("int"))
+      .withColumn("ge", $"end" + split($"v", ":")(1).cast("int"))
+
+    val goldKeys = gold.select($"url".as("g_url"), $"annotType".as("g_type"),
+      $"begin".as("g_begin"), $"end".as("g_end")).distinct()
+
+    val pTypes = patterns.select($"profileId".as("p_id"), $"annotType".as("p_type"))
+
+    val judged = exploded
+      .join(pTypes, $"profileId" === $"p_id", "left")
+      .join(goldKeys,
+        $"url" === $"g_url" && $"gb" === $"g_begin" && $"ge" === $"g_end" &&
+          $"p_type" === $"g_type", "left")
+      .groupBy($"profileId", $"url", $"begin", $"end")
+      .agg(max(when($"g_url".isNotNull, 1).otherwise(0)).as("isTp"))
+
+    // A1 with per-doc cap 50 (map-side, skew-proof)
+    val perDoc = judged.groupBy($"profileId", $"url")
+      .agg(least(sum($"isTp"), lit(50L)).as("tp"),
+           least(sum(lit(1) - $"isTp"), lit(50L)).as("fp"))
+    val counts = perDoc.groupBy($"profileId")
+      .agg(sum($"tp").as("tp"), sum($"fp").as("fp"))
+
+    // A2 precision with the reference's (tp + fp − 1) denominator correction
+    val stats = counts
+      .withColumn("total", $"tp" + $"fp")
+      .withColumn("prec",
+        when($"tp" + $"fp" > 1, $"tp".cast("double") / ($"tp" + $"fp" - 1))
+          .otherwise($"tp".cast("double")))
+
+    val kept = stats.filter($"prec" >= cfg.posThreshold && $"total" >= cfg.minCount)
+
+    patterns.toDF().drop("score", "truePos", "falsePos")
+      .join(kept.select($"profileId", $"prec".as("score"), $"tp".as("truePos"),
+        $"fp".as("falsePos")), Seq("profileId"), "inner")
+      .select($"profileId", $"toks", $"annotType", $"profileType", $"group",
+        $"score", $"truePos", $"falsePos", $"rows")
+      .as[Pattern]
+  }
+
+  /**
+   * W1 overlap resolution on match sites: among all (pattern, site) rows sharing
+   * (url, begin), keep the single best by (score asc, total desc, profileId asc)
+   * (ref BestPatterns.java:865-935 argmin).
+   */
+  def resolveOverlaps(matches: DataFrame): DataFrame = {
+    val w = Window.partitionBy("url", "begin")
+      .orderBy(col("score").asc, col("total").desc, col("profileId").asc)
+    matches.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.nlp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.{Annotation, Page}
+import graft.ingest.HtmlText
+
+/**
+ * Page → Annotation stage: the Spark-native replacement for the reference's GATE batch
+ * (/root/reference/src/gate/GateBatch.java:247-509). One typed flatMap per page:
+ * html → normalized text (byte-identity invariant) → Token/Sentence/Number annotations →
+ * gazetteer Lookups from a broadcast Aho-Corasick automaton.
+ *
+ * Declarative Dataset op: Catalyst plans the scan (column pruning pushes only url/html),
+ * the flatMap runs as one narrow stage — no shuffle, scales linearly with input splits.
+ */
+object Annotate {
+
+  /** Extract + normalize text for each page; pages failing the alnum gate are dropped,
+    * exactly like the reference's regex gate (src/gate/GateBatch.java:346). */
+  def extractText(pages: Dataset[Page])(implicit spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
+    pages.flatMap { p =>
+      val raw = if (p.text != null && p.text.nonEmpty) Option(p.text)
+                else Option(HtmlText.extract(p.html))
+      raw.flatMap(graft.ingest.Normalize.normalize).map(t => (p.url, t))
+    }.toDF("url", "text").as[(String, String)]
+  }
+
+  /** Full annotation pass. Gazetteer is broadcast once (north-rule "automata broadcast
+    * to executors"); per-page work is independent → embarrassingly parallel. */
+  def annotate(pages: Dataset[Page], gaz: Gazetteer)(
+      implicit spark: SparkSession): Dataset[Annotation] = {
+    import spark.implicits._
+    val gazB = spark.sparkContext.broadcast(gaz)
+    extractText(pages).mapPartitions { it =>
+      val g = gazB.value
+      it.flatMap { case (url, text) => annotateOne(url, text, g) }
+    }
+  }
+
+  /** Deterministic per-page annotation: tokens/sentences/numbers then Lookups. */
+  def annotateOne(url: String, text: String, gaz: Gazetteer): Vector[Annotation] = {
+    val base = Tokenizer.annotate(url, text)
+    val toks = Tokenizer.scan(text)
+    val lookups = gaz.annotate(url, text, toks, firstId = base.length)
+    base ++ lookups
+  }
+}

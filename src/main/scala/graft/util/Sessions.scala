@@ -1,0 +1,22 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with scale-appropriate defaults: AQE on (skew-join splitting per
+  * the north rule), shuffle partitions sized to local cores rather than the 200 default. */
+object Sessions {
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.align.Grid
+import graft.extract.PatternMatcher
+import graft.model.Pattern
+import graft.nlp.Tokenizer
+
+class PatternMatcherSpec extends AnyFunSuite {
+
+  private def gridOf(text: String): Grid = {
+    val anns = Tokenizer.annotate("u", text)
+    Grid.build("u", 0, text.length, anns.filter(_.annotType != "Sentence"))
+  }
+
+  private def pat(id: Long, toks: String*): Pattern =
+    Pattern(id, toks.toVector, "T", 0, "g", 1.0, 0, 0, 1)
+
+  test("exact adjacent match extracts the target span") {
+    val g = gridOf("Acme was founded in 1997")
+    val p = pat(1, ":token|string|founded", ":token|string|in", Grid.Target)
+    val hits = PatternMatcher.matchOne(g, PatternMatcher.compile(p))
+    // target candidates: "1997" (1 col) and "1997"+:end blocked (sentinel) → spans
+    assert(hits.contains((20, 24)))
+    assert(hits.forall { case (b, e) => b == 20 })
+  }
+
+  test("gap wildcard spans 0..maxGapSpan columns") {
+    val p = pat(1, ":token|string|founded", Grid.Gap, Grid.Target)
+    val g0 = gridOf("it was founded 2001")        // gap 0
+    val g2 = gridOf("it was founded back in 2001") // gap 2
+    def firstVals(g: Grid, text: String) =
+      PatternMatcher.matchOne(g, PatternMatcher.compile(p))
+        .map { case (b, e) => text.substring(b, e) }
+    assert(firstVals(g0, "it was founded 2001").contains("2001"))
+    assert(firstVals(g2, "it was founded back in 2001").contains("2001"))
+  }
+
+  test("target slot may span multiple tokens") {
+    val g = gridOf("met with John Smith today")
+    val p = pat(1, ":token|string|with", Grid.Target, ":token|string|today")
+    val hits = PatternMatcher.matchOne(g, PatternMatcher.compile(p))
+    assert(hits === Vector((9, 19))) // exactly "John Smith"
+  }
+
+  test("inverted index prunes patterns with absent literals") {
+    val ps = Seq(
+      pat(1, ":token|string|founded", Grid.Target),
+      pat(2, ":token|string|acquired", Grid.Target))
+    val idx = PatternMatcher.buildIndex(ps)
+    val g = gridOf("Acme was founded in 1997")
+    val hits = PatternMatcher.matchAll(g, idx)
+    assert(hits.map(_.pattern.profileId).distinct === Vector(1))
+  }
+
+  test("overlap suppression keeps longest-pattern-first, drops contained targets") {
+    val long = pat(1, ":token|string|founded", ":token|string|in", Grid.Target)
+    val short = pat(2, ":token|string|in", Grid.Target)
+    val idx = PatternMatcher.buildIndex(Seq(long, short))
+    val g = gridOf("Acme was founded in 1997")
+    val hits = PatternMatcher.matchAll(g, idx)
+    assert(hits.size === 1)
+    assert(hits.head.pattern.profileId === 1)
+  }
+
+  test("trailing punct trim and all-caps guard") {
+    assert(PatternMatcher.trimTrailingPunct("1997,") === "1997")
+    assert(PatternMatcher.trimTrailingPunct("Acme Corp") === "Acme Corp")
+    assert(PatternMatcher.isAllCapsSentence(gridOf("NYSE IPO NOW")))
+    assert(!PatternMatcher.isAllCapsSentence(gridOf("NYSE lists Acme")))
+  }
+}

@@ -1,24 +1,90 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main. Two phases, one JSON line:
+ *
+ *  1. Operator battery: every SparkEntry query timed (count()) on
+ *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS].
+ *  2. Scaling evidence (BASELINE.md protocol): the production extraction pipeline
+ *     (ExtractJob) on an identical deterministic corpus at local[8] then local[32];
+ *     reports docs/sec at both, output-hash equality, and scaling efficiency
+ *     (T8/T32)/4 — the sandbox stand-in for the north rule's N vs 4N executors gate.
+ *     Pattern learning runs once, untimed, on the fixed-size gold sample (learning is
+ *     sample-scale by design; extraction is the corpus-scale path).
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "6000").toInt
+
+    // ---- phase 1: operator battery ----
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() forces full row materialization — a bare count() would let
+      // Catalyst prune every computed column and time an empty scan.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // ---- phase 2: scaling evidence on the extraction path ----
+    val gen = graft.testgen.CorpusGen.pages(kgPages)
+    val nTrain = 200
+    def timedRun(cores: Int, patterns: Seq[graft.model.Pattern]): (Double, pipeline.ExtractJob.Result) = {
+      implicit val s: SparkSession = session(cores)
+      import s.implicits._
+      val pages = s.createDataset(gen.map(_.page)).repartition(cores * 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pages.count() // materialize input outside the timed window
+      val t0 = System.nanoTime()
+      val r = pipeline.ExtractJob.run(pages, patterns,
+        graft.testgen.CorpusGen.gazetteer, s"/tmp/graft_bench_out_c$cores")
+      val sec = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      (sec, r)
+    }
+    // learn once (untimed) on the gold sample
+    val patterns: Seq[graft.model.Pattern] = {
+      implicit val s: SparkSession = session(cpus)
+      import s.implicits._
+      val pages = s.createDataset(gen.take(nTrain).map(_.page))
+      val gold = s.createDataset(gen.take(nTrain).flatMap(graft.testgen.CorpusGen.goldAnnotations))
+      val r = pipeline.KGPipeline.run(pages, gold, graft.testgen.CorpusGen.gazetteer)
+      val p = r.finalPatterns
+      s.stop()
+      p
+    }
+    val (t8, r8) = timedRun(8, patterns)
+    val (t32, r32) = timedRun(32, patterns)
+    val eff = (t8 / t32) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum + t8 + t32
+    val kg = f"""{"pages":$kgPages,"triples":${r32.nTriples},""" +
+      f""""sec_c8":$t8%.2f,"sec_c32":$t32%.2f,""" +
+      f""""docs_per_sec_c8":${kgPages / t8}%.1f,"docs_per_sec_c32":${kgPages / t32}%.1f,""" +
+      f""""triples_per_sec_c32":${r32.nTriples / t32}%.1f,""" +
+      f""""scaling_efficiency":$eff%.3f,"hash_equal":${r8.outputHash == r32.outputHash}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kg":$kg,"sf":"$sfDir"}""")
   }
 }

@@ -1,13 +1,493 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.extract.DocExtract
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/**
+ * Driver contract (SURVEY.md §7): one entry per implemented operator family, each with
+ * an ANSI-SQL oracle the driver replays in DuckDB over the same parquet tables.
+ *
+ * Portability rules that make Spark-vs-DuckDB results hash-identical:
+ *  - derived ratios/scores are fixed-point integers via floor() (never float division);
+ *  - money/double aggregates go through round(x*100) → BIGINT cents before summing;
+ *  - counts from size()/row_number() are cast to BIGINT (DuckDB len()/windows emit
+ *    BIGINT; Spark emits INT);
+ *  - content hashes are md5 hex (identical in both engines); xxhash64-based operators
+ *    (SimHash, LSH buckets) have no SQL twin and are registered without an oracle
+ *    (driver falls back to a rows-only check).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** round(x*100) as BIGINT — exact integer cents, engine-portable. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Flagship: pattern-based triple extraction over the sf0.001 documents corpus via
+    * the full normalize → tokenize → sentence-grid → broadcast-matcher path. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    DocExtract.patternExtract(
+      t(spark, "/root/testdata/sf0.001", "documents"), "doc_id", "text",
+      Seq(DocExtract.triggerPattern("merge")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (S1, P-pushdown) ----
+    "q01_scan_prune" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // ---- aggregation with map-side partials (A1/A8) ----
+    "q02_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"))),
+
+    // ---- broadcast join chain (J6/J7) ----
+    "q03_join_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("total_cents"))),
+
+    // ---- anti join (J1/J4): customers with no high-value order ----
+    "q04_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // ---- semi join ----
+    "q05_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")),
+
+    // ---- window argmax per group (W1) ----
+    "q06_window_top1" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders").withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+    }),
+
+    // ---- global top-k (W5) ----
+    "q07_topk" -> ((s, d) =>
+      t(s, d, "orders").orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))),
+
+    // ---- equi + range predicate join (J2) ----
+    "q08_range_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            datediff(col("l_shipdate"), col("o_orderdate")) <= 30)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))),
+
+    // ---- sessionization (W4 idiom) ----
+    "q09_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("brk",
+          when(col("sec") - lag("sec", 1).over(w) > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((sum("brk") + 1).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---- prob tables: groupBy counts + left join + null-safe ratio (J12/A6) ----
+    "q10_prob_join" -> ((s, d) => {
+      val tot = t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("cnt_total"))
+      val high = t(s, d, "events").filter(col("value") > 100)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt_high0"))
+      tot.join(high, Seq("event_type"), "left")
+        .withColumn("cnt_high", coalesce(col("cnt_high0"), lit(0L)))
+        .withColumn("ratio_bp", floor(col("cnt_high") * 10000L / col("cnt_total")))
+        .select("event_type", "cnt_total", "cnt_high", "ratio_bp")
+    }),
+
+    // ---- distinct aggregation ----
+    "q11_distinct" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))),
+
+    // ---- tumbling event-time window (batch analog of the streaming agg) ----
+    "q12_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))),
+
+    // ---- dedup: exact (hash groupBy) ----
+    "q13_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- text: token counting (whitespace + BPE-ish regex) ----
+    "q14_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))),
+
+    // ---- text: quality scoring ----
+    "q15_quality" -> ((s, d) =>
+      TextAnalysis.quality(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_chars_m").cast("long").as("n_chars_m"),
+          col("punct_ratio_bp"), col("stop_ratio_bp"), col("mean_tok_len_c"))),
+
+    // ---- language stats rollup ----
+    "q16_lang_stats" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))),
+
+    // ---- document fingerprinting (canonical-form md5) ----
+    "q17_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(t(s, d, "documents")).select("doc_id", "fp_md5")),
+
+    // ---- language-ID (marker n-gram heuristic) ----
+    "q18_langid" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang_pred"), col("lang_score").cast("long").as("lang_score"))),
+
+    // ---- dedup: n-gram Jaccard near-dup pairs (blocked, capped postings) ----
+    "q19_jaccard_neardup" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 4, minJaccardBp = 3000L, maxPosting = 1000)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("size_a").cast("long").as("size_a"),
+          col("size_b").cast("long").as("size_b"), col("jacc_bp"))),
+
+    // ---- dedup: MinHash + LSH banding ----
+    "q20_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 4, numHashes = 12, bands = 4, minJaccardBp = 3000L)),
+
+    // ---- dedup: SimHash (xxhash64-based; no SQL oracle → rows-only check) ----
+    "q21_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 12)),
+
+    // ---- similarity: brute-force cosine top-k (quantized-exact) ----
+    "q22_cosine_topk" -> ((s, d) => {
+      val corpus = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(corpus, corpus.filter(col("id") < 20), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot_q"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // ---- similarity: LSH-bucketed ANN (scale path; rows-only check) ----
+    "q23_ann_lsh" -> ((s, d) => {
+      val corpus = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(corpus, corpus.filter(col("id") < 20), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot_q"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // ---- dedup: embedding-cosine near-dup (rows-only check) ----
+    "q24_cosine_neardup" -> ((s, d) => {
+      val corpus = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.cosineNearDupPairs(corpus, minCosBp = 4500L, planes = 4, tables = 4)
+    }),
+
+    // ---- multimodal: binary payload plumbing (stub decoder) ----
+    "q25_multimodal" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF().select("media_id", "kind", "n_bytes")
+    }),
+
+    // ---- gazetteer mention counting (broadcast Aho-Corasick) ----
+    "q26_mention_count" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      DocExtract.mentionCounts(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "merge", "window", "filter"))
+    }),
+
+    // ---- pattern-based extraction (the KG triple kernel, seeded pattern) ----
+    "q27_pattern_extract" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      DocExtract.patternExtract(t(s, d, "documents"), "doc_id", "text",
+          Seq(DocExtract.triggerPattern("merge")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- canonicalization: connected components over near-dup edges ----
+    "q28_cc_neardup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 4, minJaccardBp = 3000L, maxPosting = 1000)
+      val edges = pairs.select(
+        lpad(col("id_a").cast("string"), 12, "0").as("src"),
+        lpad(col("id_b").cast("string"), 12, "0").as("dst"))
+      graft.canon.ConnectedComponents.run(edges)
+        .select(col("node").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"))
+    })
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles. Table names refer to the same parquet files.
+  // ---------------------------------------------------------------------------
+
+  /** Shared SQL fragment: whitespace tokens of trimmed text. */
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)"
+  private val toksLowerSql =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  /** Shared SQL fragment: distinct 4-gram shingle list (matches Dedup.shingles n=4). */
+  private val shingles4Sql =
+    s"""CASE WHEN len(tk) >= 4
+        THEN list_distinct([list_aggregate(tk[i:i+3], 'string_agg', ' ')
+                            for i in range(1, len(tk) - 2)])
+        ELSE CAST([] AS VARCHAR[]) END"""
+
+  private val jaccardPairsSql =
+    s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+       sh AS (SELECT doc_id, $shingles4Sql AS sh FROM toks),
+       posts AS (
+         SELECT doc_id, sz, g FROM (
+           SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh)
+         QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id) <= 1000),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sz AS sza, b.sz AS szb, count(*) AS inter
+         FROM posts a JOIN posts b USING (g)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+       SELECT id_a, id_b, inter,
+              CAST(sza AS BIGINT) AS size_a, CAST(szb AS BIGINT) AS size_b,
+              CAST(floor(inter * 10000.0 / (sza + szb - inter)) AS BIGINT) AS jacc_bp
+       FROM pairs
+       WHERE floor(inter * 10000.0 / (sza + szb - inter)) >= 3000"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity >= 45""",
+
+    "q02_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q03_join_agg" ->
+      """SELECT n_name, count(*) AS cnt,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+
+    "q06_window_top1" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) = 1""",
+
+    "q07_topk" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q08_range_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+          AND date_diff('day', o_orderdate, l_shipdate) <= 30
+         GROUP BY o_orderpriority""",
+
+    "q09_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events),
+         m AS (SELECT user_id,
+                      CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                                                     ORDER BY sec, event_id) > 1800
+                           THEN 1 ELSE 0 END AS brk
+               FROM e)
+         SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM m GROUP BY user_id""",
+
+    "q10_prob_join" ->
+      """SELECT t.event_type, t.cnt_total,
+                CAST(coalesce(h.c, 0) AS BIGINT) AS cnt_high,
+                CAST(floor(coalesce(h.c, 0) * 10000.0 / t.cnt_total) AS BIGINT) AS ratio_bp
+         FROM (SELECT event_type, count(*) AS cnt_total FROM events GROUP BY 1) t
+         LEFT JOIN (SELECT event_type, count(*) AS c FROM events
+                    WHERE value > 100 GROUP BY 1) h
+           ON t.event_type = h.event_type""",
+
+    "q11_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+
+    "q12_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                event_type, count(*) AS cnt,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
+
+    "q13_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+
+    "q14_token_count" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM documents""",
+
+    "q15_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars_m,
+                 CAST(CASE WHEN length(text) > 0 THEN floor(
+                     (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                     * 10000.0 / length(text)) ELSE 0 END AS BIGINT) AS punct_ratio_bp,
+                 CAST(CASE WHEN len(toks) > 0 THEN floor(
+                     len(list_filter(toks, x -> lower(x) IN
+                       ('the','a','an','of','and','or','to','in','is','it',
+                        'that','this','for','on','with','as','at','by','be','are')))
+                     * 10000.0 / len(toks)) ELSE 0 END AS BIGINT) AS stop_ratio_bp,
+                 CAST(CASE WHEN len(toks) > 0 THEN floor(
+                     list_sum(list_transform(toks, x -> len(x)))
+                     * 100.0 / len(toks)) ELSE 0 END AS BIGINT) AS mean_tok_len_c
+          FROM t""",
+
+    "q16_lang_stats" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
+
+    "q17_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+         FROM documents""",
+
+    "q18_langid" ->
+      s"""WITH t AS (SELECT doc_id,
+                 list_transform($toksSql, x -> lower(x)) AS toks FROM documents),
+          s AS (SELECT doc_id,
+            len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+            len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with','for'))) AS s_en,
+            len(list_filter(toks, x -> x IN ('el','los','las','es','que','para','con','una'))) AS s_es,
+            len(list_filter(toks, x -> x IN ('le','la','les','et','est','que','pour','dans'))) AS s_fr,
+            len(list_filter(toks, x -> x IN ('de','shi','le','zai','you','wo','ta','men'))) AS s_zh
+          FROM t)
+          SELECT doc_id,
+                 CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                      WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                      WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                      WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                      WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                      ELSE 'zh' END AS lang_pred,
+                 CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_score
+          FROM s""",
+
+    "q19_jaccard_neardup" -> jaccardPairsSql,
+
+    "q20_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          shv AS (SELECT doc_id, $shingles4Sql AS sh FROM toks),
+          sh AS (SELECT doc_id, sh FROM shv WHERE len(sh) > 0),
+          sig AS (SELECT doc_id, sh,
+            [list_min(list_transform(sh, g -> md5(CAST(i AS VARCHAR) || ':' || g)))
+             for i in range(0, 12)] AS sg FROM sh),
+          banded AS (SELECT doc_id, sh,
+            unnest([md5(list_aggregate(sg[b*3+1:b*3+3], 'string_agg', '|'))
+                    for b in range(0, 4)]) AS bh,
+            generate_subscripts([1,2,3,4], 1) AS band
+            FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                   WHERE a.doc_id < b.doc_id),
+          verify AS (SELECT c.id_a, c.id_b,
+                  len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+                  len(sa.sh) AS la, len(sb.sh) AS lb
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b)
+          SELECT id_a, id_b,
+                 CAST(floor(inter * 10000.0 / (la + lb - inter)) AS BIGINT) AS jacc_bp
+          FROM verify
+          WHERE floor(inter * 10000.0 / (la + lb - inter)) >= 3000""",
+
+    "q22_cosine_topk" ->
+      """WITH v AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+                        p -> p[1] * p[2])) AS BIGINT) AS dot_q
+               FROM v q, v c
+               WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         SELECT query_id, neighbor_id, dot_q,
+                CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot_q DESC, neighbor_id) <= 3""",
+
+    "q25_multimodal" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+                CAST(strlen(text) AS BIGINT) AS n_bytes
+         FROM documents""",
+
+    "q26_mention_count" ->
+      s"""WITH toks AS (SELECT doc_id,
+                list_transform($toksSql, x -> lower(x)) AS tk FROM documents),
+          d AS (SELECT * FROM (VALUES ('spark'),('join'),('merge'),('window'),('filter')) v(term)),
+          h AS (SELECT term, doc_id, len(list_filter(tk, x -> x = term)) AS n
+                FROM toks, d)
+          SELECT term,
+                 CAST(count(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS n_occ
+          FROM h GROUP BY term HAVING sum(n) > 0""",
+
+    "q27_pattern_extract" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          pos AS (SELECT doc_id, unnest(tk) AS tok,
+                         generate_subscripts(tk, 1) AS i FROM toks),
+          hit AS (SELECT a.doc_id, b.tok AS obj
+                  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                  WHERE lower(a.tok) = 'merge')
+          SELECT doc_id, 'follows_merge' AS pred, obj, count(*) AS n_hits
+          FROM hit GROUP BY doc_id, pred, obj""",
+
+    "q28_cc_neardup" ->
+      s"""WITH RECURSIVE
+          pairs AS ($jaccardPairsSql),
+          nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+          FROM reach GROUP BY a"""
+  )
 }

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+ * embedding-cosine near-dup.
+ *
+ * Scale design (100 TB corpus):
+ *  - exact dedup is one hash-shuffle on a 32-byte key — the minimum possible;
+ *  - near-dup never does the O(N²) all-pairs join: candidates come from an equi-join on
+ *    a blocking key (shared shingle / LSH band / SimHash band), so the shuffle is on
+ *    (key, docId) postings and skew is bounded by capping posting-list length (hot
+ *    shingles like "the the the" would otherwise quadratically explode — same per-key
+ *    cap idea as the reference's per-doc count cap,
+ *    /root/reference/src/msa/BestPatterns.java:441-443);
+ *  - all hashes are content-derived (md5/xxhash64), never nondeterministic ids, so
+ *    results are identical at any parallelism (SURVEY.md §7.4.4).
+ */
+object Dedup {
+
+  /** Word n-gram shingles of a text column as an array<string> (deduplicated set). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(grams)
+  }
+
+  /**
+   * Exact dedup by content hash. Returns one row per distinct content:
+   * (keep_id = min id, dup_count). One shuffle, map-side partial agg.
+   */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_md5"), col(idCol))
+      .groupBy("content_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /**
+   * n-gram Jaccard near-duplicate pairs with similarity >= minJaccard.
+   * Blocking = shared shingle; per-shingle posting lists capped at maxPosting to bound
+   * the quadratic blow-up on stop-shingles (candidate recall is preserved for real
+   * near-dups because they share many shingles, most of them rare).
+   * Emits (id_a < id_b, inter, size_a, size_b, jacc_bp) with jacc in basis points
+   * (integer — exact across engines).
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      minJaccardBp: Long = 8000L, maxPosting: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val capped = posts.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("id")))
+      .filter(col("rn") <= maxPosting).drop("rn")
+    val a = capped.select(col("g"), col("id").as("id_a"), col("sz").as("size_a"))
+    val b = capped.select(col("g"), col("id").as("id_b"), col("sz").as("size_b"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jacc_bp",
+        floor(col("inter") * 10000L / (col("size_a") + col("size_b") - col("inter"))))
+      .filter(col("jacc_bp") >= minJaccardBp)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jacc_bp")
+  }
+
+  /**
+   * MinHash signature of the shingle set: for seed i, minhash_i = lexicographic min of
+   * md5(i || ':' || shingle). Hex-string min is engine-portable (the same value is
+   * computable in any SQL engine with md5 — used by the DuckDB oracle), deterministic,
+   * and collision behavior matches numeric minhash for dedup purposes.
+   */
+  def minhashSig(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, g => md5(concat(lit(i.toString), lit(":"), g))))
+    }: _*)
+
+  /**
+   * MinHash-LSH near-dup candidate pairs: signature of numHashes minhashes split into
+   * `bands` bands; docs sharing any band hash become candidates; candidates verified
+   * with exact Jaccard on the shingle sets. Shuffle is on (band_hash) postings only.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = 12, bands: Int = 4, minJaccardBp: Long = 7000L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(col("sh"), numHashes))
+    // band hash = md5 of the concatenated minhashes of the band
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jacc_bp", floor(col("inter").cast("long") * 10000L / col("uni")))
+      .filter(col("jacc_bp") >= minJaccardBp)
+      .select("id_a", "id_b", "jacc_bp")
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the majority
+   * vote of bit b of xxhash64(token) across tokens (with multiplicity). Computed
+   * entirely with higher-order array functions — codegen, no UDF, no shuffle.
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val bitsIdx = sequence(lit(0), lit(63))
+    // per-doc counts of set bits per position: aggregate over tokens of bit vectors
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, bitsIdx,
+        (a, b) => a + call_function("shiftright", xxhash64(t), b).bitwiseAND(1L)))
+    val nTok = size(toks).cast("long")
+    val sig = aggregate(
+      zip_with(counts, bitsIdx,
+        (c, b) => when(c * 2L > nTok, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    df.select(col(idCol).as("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit fingerprint into 4 16-bit bands;
+    * pairs sharing any band are candidates; verify by Hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("band", "bk")))
+    val l = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = banded.select(col("band"), col("bk"), col("id").as("id_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("band", "bk")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", call_function("bit_count", col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.align.Grid
+import graft.model.Pattern
+import graft.nlp.{AhoCorasick, Annotate, GazEntry, Gazetteer}
+
+/**
+ * Document-table front doors for the extraction kernels: run the real broadcast
+ * Aho-Corasick gazetteer and the real PatternMatcher over a plain (doc_id, text)
+ * corpus. These are the oracle-checkable entry points — the same kernels the full KG
+ * pipeline uses, applied to a generic documents table.
+ *
+ * Scale shape: dictionary/pattern sets are broadcast (small side), documents stream
+ * through one narrow mapPartitions stage; the only shuffle is the final groupBy on the
+ * (tiny) result.
+ */
+object DocExtract {
+
+  /**
+   * Dictionary mention counting: occurrences of each dict term (as a token-sequence
+   * match, Aho-Corasick over the lowercased token stream) across the corpus.
+   * Returns (term, n_docs, n_occ) — one row per term with >=1 hit.
+   */
+  def mentionCounts(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val termsIdx = terms.toIndexedSeq
+    val acB = spark.sparkContext.broadcast(
+      AhoCorasick.build(termsIdx.map(_.toLowerCase.split("\\s+").toSeq)))
+    val hits = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = acB.value
+        it.flatMap { case (id, text) =>
+          val toks = graft.nlp.Tokenizer.scan(text)
+          val stream = toks.map(t => text.substring(t.begin, t.end).toLowerCase)
+          ac.findAll(stream).map { case (_, _, dictId) => (id, dictId) }
+        }
+      }.toDF("id", "dict_id")
+    hits.groupBy("dict_id")
+      .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .withColumn("term",
+        element_at(array(termsIdx.map(lit): _*), col("dict_id") + 1))
+      .select("term", "n_docs", "n_occ")
+  }
+
+  /** A hand-seeded single-anchor pattern: ":token|string|<trigger>" followed by a
+    * one-token `:target` (minimal-span rule ⇒ exactly the next token). */
+  def triggerPattern(trigger: String): Pattern =
+    Pattern(1L, Seq(s":token|string|${trigger.toLowerCase}", Grid.Target),
+      annotType = s"follows_$trigger", profileType = 0, group = "seed",
+      score = 1.0, truePos = 0, falsePos = 0, rows = 0)
+
+  /**
+   * Pattern-based extraction over a documents table with a seed pattern set, via the
+   * full annotate → sentence-grid → PatternMatcher path. Returns
+   * (id, pred, obj, n_hits) aggregated per extracted value.
+   */
+  def patternExtract(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[Pattern], gazEntries: Seq[GazEntry] = Nil)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gaz = Gazetteer.build(gazEntries)
+    val gazB = spark.sparkContext.broadcast(gaz)
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(patterns))
+    val hits = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val index = idxB.value
+        val g = gazB.value
+        it.flatMap { case (id, text) =>
+          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            graft.mention.Sentences.group(s"synth://doc/$id", annots).flatMap { s =>
+              val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+              PatternMatcher.matchAll(grid, index).map(h =>
+                (id, h.pattern.annotType, h.value))
+            }
+          }
+        }
+      }.toDF("id", "pred", "obj")
+    hits.groupBy("id", "pred", "obj").agg(count(lit(1)).as("n_hits"))
+  }
+}

@@ -70,11 +70,16 @@ object KGPipeline {
     val finalPatterns = PatternStats.score(matches, gold, patterns, statsCfg)
       .collect().toSeq
 
-    // 5. extract on ALL pages
+    // 5. extract on ALL pages. allSents feeds both the matcher and the subject
+    // resolution join; rawTriples feeds both the CC edge derivation and the final
+    // canonical output — persist both or every downstream action recomputes the whole
+    // extraction (observed 7× wall-clock without these).
     val allSents = Sentences.fromAnnotations(annots)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mentions = Extract.mergeAdjacent(
       Extract.mentions(allSents, finalPatterns, statsCfg.matcher))
     val rawTriples = Extract.triples(allSents, mentions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 6. canonicalize subjects: blocking-join edges + connected components
     val forms = rawTriples.select($"subj".as("form"))

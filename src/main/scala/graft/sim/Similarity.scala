@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column (array<float>).
+ *
+ * Two paths:
+ *  - bruteForceTopK: exact cosine top-k — the baseline/oracle. O(Q·N); used when the
+ *    query set is small enough to broadcast (the common "probe set vs corpus" shape).
+ *    The corpus side streams; no shuffle except the final per-query top-k window.
+ *  - lshTopK: the scale path — random-hyperplane LSH buckets both sides; only
+ *    same-bucket pairs are scored, turning O(Q·N) into an equi-join on the bucket key.
+ *    Hyperplanes are derived deterministically from a seed via xxhash64, so bucket
+ *    assignment is reproducible at any parallelism (no Math.random — SURVEY.md §7.4.4).
+ *
+ * Scores: dot products are computed in quantized integer space (elements scaled by
+ * 1000 and rounded to long) — bit-exact across engines and summation orders, which
+ * makes the result hashable against a SQL oracle and stable under AQE re-planning.
+ * For ranking purposes quantized-dot ordering matches float ordering except for
+ * near-exact ties, which are broken deterministically by id.
+ */
+object Similarity {
+
+  /** Quantized embedding: round(x * 1000) per element, as array<long>. */
+  def quantize(v: Column): Column = transform(v, x => round(x.cast("double") * 1000d).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a quantized vector (integer, exact). */
+  def qnorm2(v: Column): Column = qdot(v, v)
+
+  /**
+   * Exact top-k neighbors for each query id (queries = rows of `queries`, corpus =
+   * rows of `corpus`; both (id, vec)). Returns (query_id, neighbor_id, dot_q, rank).
+   * The corpus·queries join is a broadcast nested-loop with the small query side
+   * broadcast — corpus partitions stream once, nothing shuffles but the top-k.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("neighbor_id"), quantize(col("vec")).as("cv"))
+    val q = queries.select(col("id").as("query_id"), quantize(col("vec")).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), qdot(col("cv"), col("qv")).as("dot_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * ±1 from the low bit of xxhash64(seed, p, d). */
+  private def planeSign(p: Int, d: Column, seed: Int): Column =
+    when(xxhash64(lit(seed), lit(p), d).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
+
+  /** LSH bucket signature: `planes` sign bits of the quantized vector against
+    * deterministic ±1 hyperplanes, packed into a long. */
+  def lshBucket(qv: Column, planes: Int, seed: Int = 42): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(qv, sequence(lit(0), size(qv) - 1), (x, d) => x * planeSign(p, d, seed)),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * LSH-bucketed ANN: score only same-bucket pairs. With `tables` independent hash
+   * tables (different seeds) unioned for recall. Returns the same shape as
+   * bruteForceTopK (rank within found candidates).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, tables: Int = 2): DataFrame = {
+    val cand = (0 until tables).map { t =>
+      val c = corpus.select(col("id").as("neighbor_id"), quantize(col("vec")).as("cv"))
+        .withColumn("bkt", lshBucket(col("cv"), planes, seed = 1000 + t))
+      val q = queries.select(col("id").as("query_id"), quantize(col("vec")).as("qv"))
+        .withColumn("bkt", lshBucket(col("qv"), planes, seed = 1000 + t))
+      c.join(broadcast(q), Seq("bkt")).filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cv"), col("qv"))
+    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      qdot(col("cv"), col("qv")).as("dot_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one corpus: all pairs whose quantized
+    * cosine (scaled to basis points, integer-rounded) >= minCosBp. Blocking via LSH
+    * bucket equality keeps it off the O(N²) path. */
+  def cosineNearDupPairs(corpus: DataFrame, minCosBp: Long, planes: Int = 6,
+      tables: Int = 2): DataFrame = {
+    val cand = (0 until tables).map { t =>
+      val v = corpus.select(col("id"), quantize(col("vec")).as("qv"))
+        .withColumn("bkt", lshBucket(col("qv"), planes, seed = 2000 + t))
+      val l = v.select(col("bkt"), col("id").as("id_a"), col("qv").as("va"))
+      val r = v.select(col("bkt"), col("id").as("id_b"), col("qv").as("vb"))
+      l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("cos_bp",
+        floor(qdot(col("va"), col("vb")) * 10000L /
+          ceil(sqrt(qnorm2(col("va")).cast("double") * qnorm2(col("vb")).cast("double"))).cast("long")))
+      .filter(col("cos_bp") >= minCosBp)
+      .select("id_a", "id_b", "cos_bp")
+  }
+}

@@ -28,7 +28,10 @@ object Materialize {
   def write(triples: Dataset[Triple], path: String, nBuckets: Int = 16)(
       implicit spark: SparkSession): DataFrame = {
     val deduped = dedup(triples)
+    // persist: the bucketed result feeds two actions (data write + checkpoint agg);
+    // without it the whole upstream pipeline recomputes per action
     val bucketed = withBucket(deduped, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
     val cps = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("rows_out"),
@@ -36,7 +39,9 @@ object Materialize {
       .withColumn("stage", lit("materialize"))
       .withColumn("completed_at", current_timestamp())
     cps.write.mode("overwrite").parquet(path + "_checkpoints")
-    cps
+    val out = cps.sparkSession.read.parquet(path + "_checkpoints")
+    bucketed.unpersist()
+    out
   }
 
   /** Order-insensitive dedup: one row per (subj, pred, obj), max score, min evidence

@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline: token counting,
+ * quality scoring, language identification, document fingerprinting.
+ *
+ * All of these are narrow per-row transforms built from `org.apache.spark.sql.functions`
+ * (whole-stage-codegen'd) — no UDFs, no shuffle. At 100 TB they run map-side at scan
+ * speed, and their filters/projections push down into the parquet/Iceberg reader.
+ *
+ * Plays the role of the reference's per-document text transforms
+ * (/root/reference/src/gate/GateBatch.java:327-352 normalization,
+ * /root/reference/src/util/CleanDocs.java:16-60 cleanup) generalized to the corpus-QA
+ * operations a web-scale corpus needs before training.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column (empty string → empty array). */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword tokens: runs of alphanumerics or single non-space punctuation
+    * marks — the classic pre-tokenizer regex (RE2-safe: no lookarounds). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** English-ish stopwords used for quality scoring (deterministic, frozen list). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  /**
+   * Per-document quality metrics:
+   *   n_tokens      whitespace token count
+   *   n_bpe_tokens  BPE-ish subword count
+   *   n_chars_m     measured character count
+   *   punct_ratio   punctuation chars / chars           (x10000, floor — integer, exact)
+   *   stop_ratio    stopword tokens / tokens            (x10000, floor — integer, exact)
+   *   mean_tok_len  total token chars / tokens          (x100, floor — integer, exact)
+   * Ratios are emitted as floor'd fixed-point integers so results are bit-identical
+   * across engines and parallelism levels (no float summation order, no cast-rounding
+   * dialect differences).
+   */
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val stopArr = array(stopwords.map(lit): _*)
+    // Materialize the token array and the scalar counts ONCE per row in staged
+    // projections. Inlining `toks` into every metric expression duplicates the
+    // split/filter subtree ~10×, which blows up generated code (observed 200s on 500
+    // rows); CollapseProject keeps multiply-referenced non-cheap aliases staged.
+    val staged = df
+      .withColumn("__toks", wsTokens(t))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_bpe_tokens", size(bpeTokens(t)).cast("long"))
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("__punct",
+        (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))).cast("long"))
+      .withColumn("__stop",
+        size(filter(col("__toks"), x => array_contains(stopArr, lower(x)))).cast("long"))
+      .withColumn("__tokchars",
+        aggregate(col("__toks"), lit(0), (acc, x) => acc + length(x)).cast("long"))
+    staged
+      .withColumn("punct_ratio_bp",
+        when(col("n_chars_m") > 0,
+          floor(col("__punct") * 10000L / col("n_chars_m"))).otherwise(0L))
+      .withColumn("stop_ratio_bp",
+        when(col("n_tokens") > 0,
+          floor(col("__stop") * 10000L / col("n_tokens"))).otherwise(0L))
+      .withColumn("mean_tok_len_c",
+        when(col("n_tokens") > 0,
+          floor(col("__tokchars") * 100L / col("n_tokens"))).otherwise(0L))
+      .drop("__toks", "__punct", "__stop", "__tokchars")
+  }
+
+  /** Frozen per-language marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Deterministic; no model download (zero-egress). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "que", "para", "con", "una"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men"))
+
+  /**
+   * Language-ID: score = count of marker-word hits per language over the lowercased
+   * whitespace tokens; predicted language = argmax score (ties broken by language code
+   * ascending; score 0 → "und"). A pure columnar expression — scores for all languages
+   * are computed in one pass over the token array.
+   */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = transform(wsTokens(col(textCol)), lower(_))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lg, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).as("score"),
+        lit(lg).as("lang"))
+    }
+    // argmax: sort by (score desc, lang asc) = array_max over (score, negated-lang) —
+    // use sort_array desc on the struct (score first, then lang desc) then adjust:
+    // struct ordering compares score then lang; we want max score, min lang, so store
+    // score and reversed-lang marker; simpler: reduce with greatest-by-comparison.
+    val best = scored.reduce { (a, b) =>
+      when(b("score") > a("score"), b).otherwise(a) // stable: ties keep earlier (asc lang)
+    }
+    df.withColumn("lang_pred", when(best("score") > 0, best("lang")).otherwise(lit("und")))
+      .withColumn("lang_score", best("score"))
+  }
+
+  /**
+   * Document fingerprint: md5 of the casefolded, whitespace-collapsed text — the
+   * canonical-form hash used for exact near-canonical dedup. Plus a 64-bit rolling
+   * hash (xxhash64) for cheap clustering keys.
+   */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val canon = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.withColumn("fp_md5", md5(canon))
+      .withColumn("fp_x64", xxhash64(canon))
+  }
+}

@@ -32,7 +32,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "6000").toInt
+    // Corpus size for the scaling run: large enough that per-task compute dominates
+    // fixed job/stage overhead (at 6k pages the job is overhead-bound and efficiency
+    // collapses to ~0.2 regardless of the code; at 60k compute dominates).
+    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "60000").toInt
 
     // ---- phase 1: operator battery ----
     var spark = session(cpus)
@@ -47,12 +50,12 @@ object Bench {
     spark.stop()
 
     // ---- phase 2: scaling evidence on the extraction path ----
-    val gen = graft.testgen.CorpusGen.pages(kgPages)
     val nTrain = 200
     def timedRun(cores: Int, patterns: Seq[graft.model.Pattern]): (Double, pipeline.ExtractJob.Result) = {
       implicit val s: SparkSession = session(cores)
-      import s.implicits._
-      val pages = s.createDataset(gen.map(_.page)).repartition(cores * 4)
+      // distributed deterministic generation: input built on executors, partition
+      // count fixed across both runs so the corpus and split sizes are identical
+      val pages = graft.testgen.CorpusGen.pagesDS(kgPages, partitions = 128)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pages.count() // materialize input outside the timed window
       val t0 = System.nanoTime()
@@ -66,8 +69,9 @@ object Bench {
     val patterns: Seq[graft.model.Pattern] = {
       implicit val s: SparkSession = session(cpus)
       import s.implicits._
-      val pages = s.createDataset(gen.take(nTrain).map(_.page))
-      val gold = s.createDataset(gen.take(nTrain).flatMap(graft.testgen.CorpusGen.goldAnnotations))
+      val train = graft.testgen.CorpusGen.pages(nTrain)
+      val pages = s.createDataset(train.map(_.page))
+      val gold = s.createDataset(train.flatMap(graft.testgen.CorpusGen.goldAnnotations))
       val r = pipeline.KGPipeline.run(pages, gold, graft.testgen.CorpusGen.gazetteer)
       val p = r.finalPatterns
       s.stop()

@@ -21,11 +21,11 @@ object RunKG {
     import spark.implicits._
 
     val t0 = System.nanoTime()
-    val gen = graft.testgen.CorpusGen.pages(nPages)
     val nTrain = math.min(nPages / 4, 200)
-    val pages = spark.createDataset(gen.map(_.page)).repartition(cores * 2)
-    val goldAnnots = spark.createDataset(
-      gen.take(nTrain).flatMap(graft.testgen.CorpusGen.goldAnnotations))
+    // corpus generated on executors (no driver materialization, no input shuffle)
+    val pages = graft.testgen.CorpusGen.pagesDS(nPages, partitions = cores * 4)
+    val goldAnnots = spark.createDataset(graft.testgen.CorpusGen.pages(nTrain)
+      .flatMap(graft.testgen.CorpusGen.goldAnnotations))
 
     val cps = graft.pipeline.KGPipeline.runAndWrite(
       pages, goldAnnots, graft.testgen.CorpusGen.gazetteer, outDir)

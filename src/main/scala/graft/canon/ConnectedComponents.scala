@@ -58,10 +58,14 @@ object ConnectedComponents {
   /** @param edges DataFrame with string columns (src, dst); undirected.
     * @return DataFrame(node STRING, component STRING = min node of its component). */
   def run(edges: DataFrame, maxIter: Int = 25)(implicit spark: SparkSession): DataFrame = {
-    val nodes = edges.select(col("src").as("n"))
-      .union(edges.select(col("dst").as("n"))).distinct()
-    var e = edges.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // Materialize the input edge list ONCE: `nodes` and the iteration both derive from
+    // it, and without this the entire upstream DAG (e.g. a full near-dup pairs pipeline)
+    // recomputes per consumer — observed 3× wall-clock on q28.
+    val raw = edges.select(col("src").as("u"), col("dst").as("v"))
+      .distinct().localCheckpoint()
+    val nodes = raw.select(col("u").as("n"))
+      .union(raw.select(col("v").as("n"))).distinct()
+    var e = raw.filter(col("u") =!= col("v"))
     var prev = checksum(e)
     var converged = e.isEmpty
     var iter = 0

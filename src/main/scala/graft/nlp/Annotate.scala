@@ -38,6 +38,15 @@ object Annotate {
     }
   }
 
+  /** P2: drop punctuation Token annotations — the reference's `punctuation=false` mode
+    * (/root/reference/src/msa/db/MySQLDBInterface.java:326-329). Declarative column
+    * filter → stays inside whole-stage codegen, pushes past the scan where possible. */
+  def dropPunctuation(annots: Dataset[Annotation]): Dataset[Annotation] = {
+    import org.apache.spark.sql.functions.col
+    annots.filter(!(col("annotType") === "Token" &&
+      col("features").getItem("kind") === "punctuation"))
+  }
+
   /** Deterministic per-page annotation: tokens/sentences/numbers then Lookups. */
   def annotateOne(url: String, text: String, gaz: Gazetteer): Vector[Annotation] = {
     val base = Tokenizer.annotate(url, text)

@@ -55,6 +55,37 @@ object Materialize {
       .as[Triple]
   }
 
+  /**
+   * Resumable write: consult the checkpoint table and (re)write ONLY buckets that have
+   * no completed checkpoint row — the north rule's "resumable from checkpoint with
+   * per-partition lineage": a crashed run leaves complete buckets' data + checkpoint
+   * rows intact; the resumed run overwrites just the missing partitions (dynamic
+   * partition overwrite, the parquet stand-in for Iceberg overwritePartitions) and
+   * appends their lineage rows. Idempotent: a second resume with a complete checkpoint
+   * table writes nothing.
+   */
+  def writeResumable(triples: Dataset[Triple], path: String, nBuckets: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    val bucketed = withBucket(dedup(triples), nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pending = pendingBuckets(bucketed, path + "_checkpoints")
+      .collect().map(_.getInt(0)) // ≤ nBuckets rows — driver-safe
+    if (pending.nonEmpty) {
+      val todo = bucketed.filter(col("bucket").isin(pending.map(Integer.valueOf): _*))
+      todo.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+      todo.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("rows_out"),
+          coalesce(expr("bit_xor(xxhash64(subj, pred, obj))"), lit(0L)).as("output_hash"))
+        .withColumn("stage", lit("materialize"))
+        .withColumn("completed_at", current_timestamp())
+        .write.mode("append").parquet(path + "_checkpoints")
+    }
+    bucketed.unpersist()
+    spark.read.parquet(path + "_checkpoints")
+  }
+
   /** Resume: which buckets still need writing given an existing checkpoint table. */
   def pendingBuckets(all: DataFrame, checkpointPath: String)(
       implicit spark: SparkSession): DataFrame = {

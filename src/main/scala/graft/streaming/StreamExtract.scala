@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.align.Grid
+import graft.extract.PatternMatcher
+import graft.mention.Sentences
+import graft.model.{Mention, Page, Pattern, Triple}
+import graft.nlp.{Annotate, Gazetteer}
+
+/** A triple carrying its page's event time (warc_ts), for watermarked windowed aggs. */
+final case class TimedTriple(
+    subj: String,
+    pred: String,
+    obj: String,
+    url: String,
+    begin: Int,
+    end: Int,
+    profileId: Long,
+    score: Double,
+    warcTs: java.sql.Timestamp)
+
+/**
+ * Structured Streaming ingest: continuous extraction over an unbounded stream of pages.
+ *
+ * The reference "streams" by polling a status table every 5 s
+ * (/root/reference/src/msa/IEDriver.java:887,1340-1353); this module is the native
+ * replacement: `readStream` over the pages source → the SAME deterministic per-page
+ * kernels (normalize → tokenize → gazetteer → pattern match → local subject resolution)
+ * as the batch path, re-shaped so every operator is narrow (no joins, no windows) and
+ * therefore legal and efficient in a streaming plan. Parity with the batch path is
+ * asserted by StreamingSpec (same corpus → byte-identical triple set).
+ *
+ * Three capabilities:
+ *  - [[triples]]: stateless per-page extraction, works on batch AND streaming Datasets;
+ *  - [[dedupedTriples]]: exactly-once (subj,pred,obj,url) emission via
+ *    flatMapGroupsWithState (KeyValueGroupedDataset custom state);
+ *  - [[windowedPredCounts]]: event-time tumbling-window counts with a watermark on
+ *    warc_ts (late pages beyond the watermark are dropped, state is bounded).
+ *
+ * At scale: the per-page path has no shuffle, so the micro-batch DAG is a single narrow
+ * stage; state in dedup/window stages is partitioned by key across executors (RocksDB
+ * state store in production); the parquet/file sink commits per micro-batch through the
+ * checkpoint log → exactly-once, resumable from `checkpointLocation` after a crash.
+ */
+object StreamExtract {
+
+  /** Pure per-page extraction: the whole batch pipeline (annotate → sentences → match →
+    * W4 adjacent merge → sentence-local subject resolution) run locally for one page.
+    * Mirrors Extract.mentions/mergeAdjacent/triples semantics without joins/windows. */
+  def extractPage(url: String, text: String, gaz: Gazetteer,
+      index: PatternMatcher.Index, prm: PatternMatcher.Params = PatternMatcher.Params(),
+      subjectMajorType: String = "entity"): Vector[Triple] = {
+    val annots = Annotate.annotateOne(url, text, gaz)
+    val sents = Sentences.group(url, annots.toVector)
+
+    val mentions = sents.flatMap { s =>
+      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+      if (PatternMatcher.isAllCapsSentence(grid)) Vector.empty
+      else PatternMatcher.matchAll(grid, index, prm).map { h =>
+        Mention(s.url, h.pattern.annotType, h.targetBegin, h.targetEnd,
+          PatternMatcher.trimTrailingPunct(h.value), h.pattern.profileId,
+          h.pattern.score)
+      }
+    }
+
+    // W4 adjacent merge, local mirror of Extract.mergeAdjacent (same page ⇒ same result)
+    val merged = mentions.groupBy(_.annotType).toVector.flatMap { case (_, ms) =>
+      val sorted = ms.sortBy(m => (m.begin, m.end))
+      val out = Vector.newBuilder[Mention]
+      var cur: Mention = null
+      sorted.foreach { m =>
+        if (cur == null) cur = m
+        else if (m.begin <= cur.end + 1)
+          cur = cur.copy(end = math.max(cur.end, m.end),
+            value = cur.value + " " + m.value,
+            profileId = math.min(cur.profileId, m.profileId),
+            score = math.max(cur.score, m.score))
+        else { out += cur; cur = m }
+      }
+      if (cur != null) out += cur
+      out.result()
+    }
+
+    // sentence-local subject resolution, local mirror of Extract.triples
+    val host = "^[a-z]+://([^/]+)".r.findFirstMatchIn(url).map(_.group(1)).getOrElse("")
+    merged.sortBy(m => (m.annotType, m.begin, m.end)).map { m =>
+      val sent = sents.find(s => m.begin >= s.sentBegin && m.begin < s.sentEnd)
+      val cand = sent.toVector.flatMap(_.annots.filter(a =>
+        a.annotType == "Lookup" &&
+          a.features.getOrElse("majorType", "") == subjectMajorType &&
+          !(a.begin == m.begin && a.end == m.end)))
+      val best = cand
+        .map { a =>
+          val dist = if (a.end <= m.begin) m.begin - a.end
+                     else 1000000 + (a.begin - m.begin)
+          (dist, a.begin, a.value)
+        }
+        .sortBy(t => (t._1, t._2)).headOption
+      Triple(best.map(_._3).getOrElse(host), m.annotType, m.value,
+        url, m.begin, m.end, m.profileId, m.score)
+    }
+  }
+
+  /** Stateless streaming-legal extraction: Dataset[Page] → Dataset[TimedTriple].
+    * Works identically on a batch Dataset (used by StreamingSpec for parity). */
+  def triples(pages: Dataset[Page], patterns: Seq[Pattern], gaz: Gazetteer,
+      prm: PatternMatcher.Params = PatternMatcher.Params())(
+      implicit spark: SparkSession): Dataset[TimedTriple] = {
+    import spark.implicits._
+    val gazB = spark.sparkContext.broadcast(gaz)
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(patterns))
+    pages.mapPartitions { it =>
+      val (g, idx) = (gazB.value, idxB.value)
+      it.flatMap { p =>
+        val raw = if (p.text != null && p.text.nonEmpty) Option(p.text)
+                  else Option(graft.ingest.HtmlText.extract(p.html))
+        raw.flatMap(graft.ingest.Normalize.normalize).toVector.flatMap { t =>
+          extractPage(p.url, t, g, idx, prm).map(tr =>
+            TimedTriple(tr.subj, tr.pred, tr.obj, tr.url, tr.begin, tr.end,
+              tr.profileId, tr.score, p.warc_ts))
+        }
+      }
+    }
+  }
+
+  /** Exactly-once triple emission across micro-batches: flatMapGroupsWithState keyed by
+    * (subj, pred, obj, url) emits only first occurrences; later duplicates are dropped.
+    * State per key is a single boolean → bounded by distinct-triple cardinality and
+    * spillable to the RocksDB state store in production. */
+  def dedupedTriples(ts: Dataset[TimedTriple])(
+      implicit spark: SparkSession): Dataset[TimedTriple] = {
+    import spark.implicits._
+    ts.groupByKey(t => (t.subj, t.pred, t.obj, t.url))
+      .flatMapGroupsWithState[Boolean, TimedTriple](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // deterministic winner within the batch: min (begin, end)
+            rows.toVector.sortBy(t => (t.begin, t.end)).headOption.iterator
+          }
+      }
+  }
+
+  /** Event-time tumbling-window counts per predicate with a watermark: the streaming
+    * analog of the batch q12_hourly. Late data beyond `watermark` is dropped and window
+    * state is evicted — bounded state at unbounded input. */
+  def windowedPredCounts(ts: Dataset[TimedTriple], windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    ts.toDF()
+      .withWatermark("warcTs", watermark)
+      .groupBy(window(col("warcTs"), windowLen), col("pred"))
+      .agg(count(lit(1)).as("n_triples"), approx_count_distinct("subj").as("n_subjects"))
+
+  /** Launch the continuous ingest job: stream → extract → dedup → parquet append with
+    * exactly-once checkpointing. Trigger.AvailableNow drains what exists then stops —
+    * the batch-backfill mode; omit for continuous micro-batches. */
+  def run(pages: Dataset[Page], patterns: Seq[Pattern], gaz: Gazetteer,
+      outPath: String, checkpointPath: String, availableNow: Boolean = true)(
+      implicit spark: SparkSession): StreamingQuery = {
+    val out = dedupedTriples(triples(pages, patterns, gaz))
+    val writer = out.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -53,8 +53,22 @@ object CorpusGen {
 
   /** Deterministic page set. Hot-domain skew: ~10% of pages share one domain.
     * Mega-entity skew: entity 0 appears on ~20% of pages. */
-  def pages(n: Int, seed: Long = 42L): Vector[GenPage] = {
-    (0 until n).toVector.map { i =>
+  def pages(n: Int, seed: Long = 42L): Vector[GenPage] =
+    (0 until n).toVector.map(gen1(_, seed))
+
+  /** Distributed generation: pages are built ON EXECUTORS (per-page seed → any
+    * partitioning yields the identical corpus), so the bench input neither sits in
+    * driver memory nor shuffles — the honest stand-in for scanning a real corpus. */
+  def pagesDS(n: Int, partitions: Int, seed: Long = 42L)(
+      implicit spark: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).mapPartitions(_.map(i => gen1(i.toInt, seed).page))
+  }
+
+  /** One deterministic page (pure function of (i, seed)). */
+  def gen1(i: Int, seed: Long = 42L): GenPage = {
+    {
       val rnd = new java.util.Random(seed + i) // per-page seed → order-independent
       val entIdx = if (rnd.nextInt(5) == 0) 0 else rnd.nextInt(entities.size)
       val ent = entities(entIdx)

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.{Pattern, Triple}
+import graft.sink.{Materialize, Stores}
+import graft.sources.Ingest
+
+/** S4/S5 importers, S7 upsert sink, and the checkpointed resumable triple write. */
+class SourcesSinksSpec extends AnyFunSuite with SparkTest {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_ss").toString
+
+  test("S4: text-file corpus import normalizes at import (trim + strip \\r)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
+      "  Hello world.\r\nSecond line.\r\n ")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"),
+      "Another doc.")
+    val pages = Ingest.fromTextFiles(dir).collect().sortBy(_.url)
+    assert(pages.length === 2)
+    val a = pages.find(_.url.endsWith("a.txt")).get
+    assert(a.text === "Hello world.\nSecond line.", "trim+strip-\\r not applied")
+    assert(!a.text.contains("\r"))
+  }
+
+  test("S5: CoNLL parse — tokens, sentences, IOB entity spans, exact offsets") {
+    val raw =
+      """-DOCSTART- -X- -X- O
+        |
+        |EU NNP B-NP B-ORG
+        |rejects VBZ B-VP O
+        |German JJ B-NP B-MISC
+        |call NN I-NP O
+        |. . O O
+        |
+        |Peter NNP B-NP B-PER
+        |Blackburn NNP I-NP I-PER
+        |""".stripMargin
+    val docs = Ingest.parseFile("f.txt", raw)
+    assert(docs.length === 1)
+    val d = docs.head
+    assert(d.text === "EU rejects German call . Peter Blackburn")
+    val ents = d.annots.filter(a => a.provenance == "gold")
+    assert(ents.map(a => (a.annotType, a.value)).toSet ===
+      Set(("ORG", "EU"), ("MISC", "German"), ("PER", "Peter Blackburn")))
+    // offsets must be exact against the reconstructed text
+    ents.foreach(a => assert(d.text.substring(a.begin, a.end) === a.value))
+    val sents = d.annots.filter(_.annotType == "Sentence")
+    assert(sents.length === 2)
+    assert(d.annots.count(_.annotType == "Token") === 7)
+  }
+
+  test("S7: pattern upsert — same key updates stats, new keys append") {
+    import spark.implicits._
+    val path = tmpDir() + "/patterns"
+    def p(id: Long, tok: String, tp: Long) =
+      Pattern(id, Seq(tok, ":target"), "t", 0, "msa", 0.5, tp, 0, 1)
+    Stores.upsertPatterns(spark.createDataset(Seq(p(1, ":a", 10), p(2, ":b", 20))), path)
+    // second generation: :a re-learned with new stats, :c is new
+    val after = Stores.upsertPatterns(
+      spark.createDataset(Seq(p(9, ":a", 99), p(3, ":c", 30))), path)
+      .collect().map(x => (x.toks.head, x.truePos)).toMap
+    assert(after === Map(":a" -> 99L, ":b" -> 20L, ":c" -> 30L))
+  }
+
+  test("resumable materialize: only pending buckets are written on resume") {
+    import spark.implicits._
+    val path = tmpDir() + "/triples"
+    val triples = spark.createDataset((0 until 200).map(i =>
+      Triple(s"subj$i", "p", s"o$i", s"https://x/$i", 0, 1, 1L, 1.0)))
+    val nB = 8
+
+    val cps1 = Materialize.writeResumable(triples, path, nB)
+    assert(cps1.count() === nB)
+    val total = spark.read.parquet(path).count()
+    assert(total === 200)
+
+    // simulate a crash that lost 3 buckets' checkpoints (their data gone too)
+    val lost = Seq(1, 4, 6)
+    val cpPath = path + "_checkpoints"
+    val kept = spark.read.parquet(cpPath).filter(!col("bucket").isin(lost: _*))
+      .persist(); kept.count()
+    kept.write.mode("overwrite").parquet(cpPath); kept.unpersist()
+    lost.foreach { b =>
+      val d = new java.io.File(s"$path/bucket=$b")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    assert(spark.read.parquet(path).count() < 200)
+
+    // resume: pendingBuckets sees exactly the lost buckets; write restores them
+    val bucketed = Materialize.withBucket(Materialize.dedup(triples), nB)
+    val pending = Materialize.pendingBuckets(bucketed, cpPath)
+      .collect().map(_.getInt(0)).sorted
+    assert(pending.toSeq === lost)
+    Materialize.writeResumable(triples, path, nB)
+    assert(spark.read.parquet(path).count() === 200)
+    assert(spark.read.parquet(cpPath).count() === nB)
+
+    // idempotent: a third call with a complete checkpoint table writes nothing new
+    val mtimes = new java.io.File(path).listFiles().map(f => f.getName -> f.lastModified).toMap
+    Materialize.writeResumable(triples, path, nB)
+    val mtimes2 = new java.io.File(path).listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(mtimes === mtimes2, "complete checkpoint still rewrote partitions")
+  }
+}

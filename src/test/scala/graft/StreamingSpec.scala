@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.model.{Page, Pattern}
+import graft.streaming.{StreamExtract, TimedTriple}
+import graft.testgen.CorpusGen
+
+/**
+ * Structured Streaming coverage (SURVEY.md §2.10): the per-page streaming path must be
+ * byte-identical to the batch path (parity), dedup state must span micro-batches
+ * (flatMapGroupsWithState), watermarked windows must aggregate by event time, and a
+ * file-source run must resume from its checkpoint processing only new input.
+ */
+class StreamingSpec extends AnyFunSuite with SparkTest {
+
+  // hand-seeded patterns matching the CorpusGen grammar (no learning needed here —
+  // learning parity is PipelineSpec's job)
+  private val seedPatterns: Seq[Pattern] = Seq(
+    Pattern(1L, Seq(":token|string|founded", ":token|string|in", graft.align.Grid.Target),
+      "founded-year", 0, "seed", 1.0, 0, 0, 0),
+    Pattern(2L, Seq(":token|string|headquartered", ":token|string|in", graft.align.Grid.Target),
+      "hq-city", 0, "seed", 1.0, 0, 0, 0),
+    Pattern(3L, Seq(":token|string|employs", graft.align.Grid.Target,
+      ":token|string|people"), "employee-count", 0, "seed", 1.0, 0, 0, 0))
+
+  private def tripleKey(t: TimedTriple) = (t.subj, t.pred, t.obj, t.url, t.begin, t.end)
+
+  test("parity: streaming per-page path == batch join/window path on the same corpus") {
+    import spark.implicits._
+    val gen = CorpusGen.pages(40)
+    val pages = spark.createDataset(gen.map(_.page))
+
+    // batch path (joins + windows)
+    val annots = graft.nlp.Annotate.annotate(pages, CorpusGen.gazetteer)
+    val sents = graft.mention.Sentences.fromAnnotations(annots)
+    val batchMentions = graft.extract.Extract.mergeAdjacent(
+      graft.extract.Extract.mentions(sents, seedPatterns))
+    val batch = graft.extract.Extract.triples(sents, batchMentions)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.begin, t.end)).toSet
+
+    // streaming-legal path (narrow ops only), run on the same batch Dataset
+    val streamShaped = StreamExtract.triples(pages, seedPatterns, CorpusGen.gazetteer)
+      .collect().map(tripleKey).toSet
+
+    assert(batch.nonEmpty, "no triples extracted at all")
+    assert(streamShaped === batch,
+      s"paths diverged; only-batch=${(batch -- streamShaped).take(3)} " +
+        s"only-stream=${(streamShaped -- batch).take(3)}")
+  }
+
+  test("flatMapGroupsWithState dedup holds state across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Page]
+    val out = StreamExtract.dedupedTriples(
+      StreamExtract.triples(input.toDS(), seedPatterns, CorpusGen.gazetteer))
+    val q = out.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val gen = CorpusGen.pages(10)
+      input.addData(gen.map(_.page))
+      q.processAllAvailable()
+      val n1 = spark.table("dedup_t").count()
+      assert(n1 > 0)
+      // same pages again: every triple is a duplicate → nothing new emitted
+      input.addData(gen.map(_.page))
+      q.processAllAvailable()
+      val n2 = spark.table("dedup_t").count()
+      assert(n2 === n1, s"duplicates leaked: $n1 -> $n2")
+      // new pages → new triples still flow
+      input.addData(CorpusGen.pages(14).drop(10).map(_.page))
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() > n1)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window aggregates by event time and closes windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TimedTriple]
+    def tt(subj: String, hour: Int): TimedTriple =
+      TimedTriple(subj, "hq-city", "Gotham", s"https://x/$subj", 0, 1, 1L, 1.0,
+        java.sql.Timestamp.valueOf(f"2025-01-01 $hour%02d:15:00"))
+    val counts = StreamExtract.windowedPredCounts(input.toDS(),
+      windowLen = "1 hour", watermark = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("win_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(tt("a", 1), tt("b", 1), tt("c", 2))
+      q.processAllAvailable()
+      // advance watermark past hour-1 and hour-2 windows
+      input.addData(tt("d", 5))
+      q.processAllAvailable()
+      input.addData(tt("e", 9))
+      q.processAllAvailable()
+      val rows = spark.table("win_t")
+        .selectExpr("hour(window.start) AS h", "n_triples").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(rows.get(1).contains(2L), s"hour-1 window wrong: $rows")
+      assert(rows.get(2).contains(1L), s"hour-2 window wrong: $rows")
+      // late row for an hour-1 window already behind the watermark must be dropped
+      input.addData(tt("late", 1))
+      q.processAllAvailable()
+      val again = spark.table("win_t")
+        .selectExpr("hour(window.start) AS h").where("h = 1").count()
+      assert(again === 1L, "late-beyond-watermark row re-opened a closed window")
+    } finally q.stop()
+  }
+
+  test("file-source ingest resumes from checkpoint, processing only new files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (srcDir, outDir, cpDir) = (s"$dir/src", s"$dir/out", s"$dir/cp")
+    val gen = CorpusGen.pages(20)
+
+    spark.createDataset(gen.take(10).map(_.page)).write.mode("append").parquet(srcDir)
+    def stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Page]].schema)
+      .parquet(srcDir).as[Page]
+
+    val q1 = StreamExtract.run(stream, seedPatterns, CorpusGen.gazetteer, outDir, cpDir)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 > 0)
+
+    // second run, same checkpoint: only the newly appended files are processed
+    spark.createDataset(gen.drop(10).map(_.page)).write.mode("append").parquet(srcDir)
+    val q2 = StreamExtract.run(stream, seedPatterns, CorpusGen.gazetteer, outDir, cpDir)
+    q2.awaitTermination()
+    val out = spark.read.parquet(outDir)
+    val n2 = out.count()
+    assert(n2 > n1, "resume did not process the new files")
+    // exactly-once: no (subj,pred,obj,url,begin) duplicates across the two runs
+    assert(out.dropDuplicates("subj", "pred", "obj", "url", "begin").count() === n2,
+      "resume reprocessed old files (duplicates in sink)")
+  }
+}

@@ -2,42 +2,53 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.extract.Extract
 import graft.model.{Page, Pattern, Triple}
-import graft.mention.Sentences
-import graft.nlp.{Annotate, Gazetteer}
 
 /**
- * The production extraction path in isolation: annotate → sentence-group → broadcast
- * pattern matching → triples → partitioned write. This is the stage that runs over the
- * full 10^12-page corpus at scale (learning runs on a small validated sample by design —
+ * The production extraction path in isolation: the job that runs over the full
+ * 10^12-page corpus at scale (learning runs on a small validated sample by design —
  * exactly the reference's split: learning on status-1 docs only, extraction on status-0,
  * /root/reference/src/msa/IEDriver.java:441-450; SURVEY.md §7.4.2).
  *
- * Shuffle budget: ONE url shuffle (sentence grouping), one window shuffle (subject
- * resolution), plus the write. Everything else is narrow map work, so wall-clock scales
- * ~linearly with cores — this is the job the two-parallelism scaling evidence runs.
+ * Plan shape: pages → fused per-page extraction (normalize → tokenize → gazetteer →
+ * sentence grouping → broadcast-automaton pattern match → W4 merge → subject
+ * resolution), all inside ONE narrow mapPartitions — annotations never leave the page
+ * that produced them, so the big path has ZERO shuffles before the final (tiny) triple
+ * dedup + write. This is [[graft.streaming.StreamExtract.extractPage]], the same kernel
+ * the streaming path runs; StreamingSpec proves it emits byte-identical triples to the
+ * relational join/window formulation in [[graft.extract.Extract]] (which remains the
+ * path of choice when annotations come from a stored annotations table rather than
+ * inline extraction).
+ *
+ * Wall-clock therefore scales ~linearly with cores — this is the job the
+ * two-parallelism scaling evidence runs.
  */
 object ExtractJob {
 
   final case class Result(nTriples: Long, outputHash: Long)
 
-  def run(pages: Dataset[Page], patterns: Seq[Pattern], gaz: Gazetteer,
+  def run(pages: Dataset[Page], patterns: Seq[Pattern], gaz: graft.nlp.Gazetteer,
       outPath: String)(implicit spark: SparkSession): Result = {
-    val annots = Annotate.annotate(pages, gaz)
-    // sents feeds both the matcher and the subject-resolution join in triples():
-    // persist so annotate+group run once per partition, not twice.
-    val sents = Sentences.fromAnnotations(annots)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mentions = Extract.mergeAdjacent(Extract.mentions(sents, patterns))
-    val triples: Dataset[Triple] = Extract.triples(sents, mentions)
+    import spark.implicits._
+    val gazB = spark.sparkContext.broadcast(gaz)
+    val idxB = spark.sparkContext.broadcast(
+      graft.extract.PatternMatcher.buildIndex(patterns))
+    val triples: Dataset[Triple] = pages.mapPartitions { it =>
+      val (g, idx) = (gazB.value, idxB.value)
+      it.flatMap { p =>
+        val raw = if (p.text != null && p.text.nonEmpty) Option(p.text)
+                  else Option(graft.ingest.HtmlText.extract(p.html))
+        raw.flatMap(graft.ingest.Normalize.normalize).toVector.flatMap { t =>
+          graft.streaming.StreamExtract.extractPage(p.url, t, g, idx)
+        }
+      }
+    }
     val out = triples.toDF().dropDuplicates("subj", "pred", "obj", "url", "begin")
     out.write.mode("overwrite").parquet(outPath)
     val r = spark.read.parquet(outPath)
       .agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(subj, pred, obj, url, begin, end))"), lit(0L)))
       .head()
-    sents.unpersist()
     Result(r.getLong(0), r.getLong(1))
   }
 }

@@ -19,6 +19,7 @@ object Bench {
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -75,7 +76,10 @@ object Bench {
         "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
         "graft.ScalingRun", cores.toString, kgPages.toString, "4")).toArray
-      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+      // INHERIT stderr: Spark logs on an unread pipe would fill the 64 KB buffer and
+      // deadlock the child; stdout (one JSON line) is all we parse.
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectError(ProcessBuilder.Redirect.INHERIT).start()
       val out = new String(proc.getInputStream.readAllBytes())
       proc.waitFor()
       def num(k: String): Double =

@@ -22,8 +22,24 @@ object DocExtract {
    * Dictionary mention counting: occurrences of each dict term (as a token-sequence
    * match, Aho-Corasick over the lowercased token stream) across the corpus.
    * Returns (term, n_docs, n_occ) — one row per term with >=1 hit.
+   *
+   * Runs on the NATIVE codegen expression `ahocorasick_matches`
+   * ([[graft.functions.AhoCorasickMatches]]): the automaton is compiled at plan time
+   * and the scan→explode→aggregate pipeline stays inside whole-stage codegen — the
+   * faster successor of the broadcast-closure formulation (still available as
+   * [[mentionCountsClosure]] for sessions without GraftExtensions).
    */
   def mentionCounts(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String])(implicit spark: SparkSession): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(call_function("ahocorasick_matches", col(textCol),
+          array(terms.map(lit): _*))).as("m"))
+      .groupBy(col("m.term").as("term"))
+      .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .select("term", "n_docs", "n_occ")
+
+  /** Broadcast-closure variant of [[mentionCounts]] (no session extensions needed). */
+  def mentionCountsClosure(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val termsIdx = terms.toIndexedSeq

@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/**
+ * Session extensions for the graft engine: registers the native expressions with the
+ * Catalyst function registry. Usable both programmatically
+ * (`SparkSession.builder.withExtensions(new GraftExtensions)`) and via
+ * `--conf spark.sql.extensions=graft.functions.GraftExtensions` on spark-submit.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("ahocorasick_matches"),
+      new ExpressionInfo(classOf[AhoCorasickMatches].getName, "ahocorasick_matches"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AhoCorasickMatches.create(exprs)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expression `ahocorasick_matches` (codegen gazetteer). */
+class FunctionsSpec extends AnyFunSuite with SparkTest {
+
+  private def matches(text: String, terms: Seq[String]) = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(explode(call_function("ahocorasick_matches", col("text"),
+        array(terms.map(lit): _*))).as("m"))
+      .select("m.term", "m.begin", "m.end")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+  }
+
+  test("finds single- and multi-word terms with char offsets, case-insensitively") {
+    val text = "Spark joins data. A broadcast hash join beats a shuffle JOIN."
+    val got = matches(text, Seq("join", "broadcast hash join", "spark"))
+    // token-sequence semantics: "joins" is one token != "join"
+    assert(got.contains(("spark", 0, 5)))
+    assert(got.contains(("broadcast hash join", 20, 39)))
+    val joins = got.filter(_._1 == "join")
+    assert(joins.length === 2, s"got $joins")  // "join" inside the phrase + final "JOIN"
+    joins.foreach { case (_, b, e) => assert(text.substring(b, e).equalsIgnoreCase("join")) }
+  }
+
+  test("parity with the broadcast-closure formulation on the documents corpus") {
+    import spark.implicits._
+    // CorpusGen pages carry html not text; use extracted text
+    val rows = graft.testgen.CorpusGen.pages(30).zipWithIndex.map { case (gp, i) =>
+      (i.toLong, graft.ingest.HtmlText.extractNormalized(gp.page.html).get)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val terms = Seq("founded", "headquartered in", "people", "acme corp")
+    val native = graft.extract.DocExtract.mentionCounts(df, "doc_id", "text", terms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val closure = graft.extract.DocExtract.mentionCountsClosure(df, "doc_id", "text", terms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native === closure)
+    assert(native.nonEmpty)
+  }
+
+  test("expression stays inside whole-stage codegen (no fallback)") {
+    // a range source (not a LocalRelation, which the optimizer folds eagerly) so the
+    // projection actually goes through WholeStageCodegen's generated java
+    val df = spark.range(2)
+      .select(concat(lit("doc "), col("id"), lit(" merge says merge")).as("text"))
+      .select(size(call_function("ahocorasick_matches", col("text"),
+        array(lit("merge"), lit("doc")))).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1)" is the WholeStageCodegen marker in the compact plan string; a fallback
+    // (CodegenFallback or interpreted Project) would drop the asterisk
+    assert(plan.contains("*(1) Project"), s"plan lost codegen:\n$plan")
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 3))
+  }
+
+  test("null text and non-foldable terms are handled") {
+    import spark.implicits._
+    val df = Seq(Some("a merge b"), None).toDF("text")
+      .select(call_function("ahocorasick_matches", col("text"), array(lit("merge"))).as("m"))
+    val got = df.collect()
+    assert(got(0).getSeq[Any](0).length === 1)
+    assert(got(1).isNullAt(0))
+    val err = intercept[Exception] {
+      Seq(("x", "y")).toDF("text", "t")
+        .select(call_function("ahocorasick_matches", col("text"), array(col("t"))))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+  }
+}

@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Word n-gram shingles of a text column as an array<string> (deduplicated set). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of a text column as an array<string> (deduplicated set,
+    * first-occurrence order). Uses the native codegen expression `word_shingles`
+    * (graft.functions.WordShingles, registered by GraftExtensions — all graft session
+    * factories register it); ~20× the throughput of the equivalent higher-order-function
+    * expression, which evaluates interpreted with an array copy per slice. */
+  def shingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
+
+  /** The pure-builtin formulation (no session extensions needed); semantically
+    * identical to [[shingles]] — kept for extension-less sessions and as the
+    * cross-checked reference in DedupSpec. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -58,7 +68,11 @@ object Dedup {
       .filter(col("rn") <= maxPosting).drop("rn")
     val a = capped.select(col("g"), col("id").as("id_a"), col("sz").as("size_a"))
     val b = capped.select(col("g"), col("id").as("id_b"), col("sz").as("size_b"))
-    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+    // shuffle_hash (not broadcast): both sides then shuffle on g with IDENTICAL
+    // subplans, so ReusedExchange computes the posting+cap pipeline ONCE; Spark's
+    // size estimate otherwise broadcasts millions of postings and evaluates the
+    // pipeline twice (observed 2× wall-clock and executor memory pressure)
+    a.join(b.hint("shuffle_hash"), Seq("g")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jacc_bp",
@@ -72,8 +86,14 @@ object Dedup {
    * md5(i || ':' || shingle). Hex-string min is engine-portable (the same value is
    * computable in any SQL engine with md5 — used by the DuckDB oracle), deterministic,
    * and collision behavior matches numeric minhash for dedup purposes.
+   * Uses the native codegen expression `minhash_md5` (one pass, reused digest) — the
+   * builtin formulation ([[minhashSigHof]]) runs numHashes interpreted passes per row.
    */
   def minhashSig(sh: Column, numHashes: Int): Column =
+    call_function("minhash_md5", sh, lit(numHashes))
+
+  /** Pure-builtin minhash (no session extensions); cross-checked in DedupSpec. */
+  def minhashSigHof(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(sh, g => md5(concat(lit(i.toString), lit(":"), g))))
     }: _*)
@@ -97,7 +117,9 @@ object Dedup {
         .as(Seq("band", "bh")))
     val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+    // shuffle_hash → identical shuffles on both sides → ReusedExchange (see jaccardPairs)
+    val cand = l.join(r.hint("shuffle_hash"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
     cand
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -109,24 +131,29 @@ object Dedup {
 
   /**
    * 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the majority
-   * vote of bit b of xxhash64(token) across tokens (with multiplicity). Computed
-   * entirely with higher-order array functions — codegen, no UDF, no shuffle.
+   * vote of bit b of xxhash64(token) across tokens (with multiplicity).
+   *
+   * Shape: explode tokens → hash once per token → one groupBy with 64 codegen'd
+   * bit-count sums (map-side partials; the shuffle carries docs × 65 longs) → fold the
+   * majority votes into the signature. Replaces an aggregate/zip_with higher-order
+   * formulation that evaluated interpreted at O(tokens × 64) per row (~10× slower).
+   * Docs with zero tokens keep signature 0 (left join back).
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
-    val bitsIdx = sequence(lit(0), lit(63))
-    // per-doc counts of set bits per position: aggregate over tokens of bit vectors
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitsIdx,
-        (a, b) => a + call_function("shiftright", xxhash64(t), b).bitwiseAND(1L)))
-    val nTok = size(toks).cast("long")
-    val sig = aggregate(
-      zip_with(counts, bitsIdx,
-        (c, b) => when(c * 2L > nTok, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    df.select(col(idCol).as("id"), sig.as("simhash"))
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"c$b"))
+    val agg = toks.groupBy("id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"c$b") * 2L > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bits: + == bitwise OR
+    val sigs = agg.select(col("id"), sig.as("simhash0"))
+    df.select(col(idCol).as("id")).join(sigs, Seq("id"), "left")
+      .select(col("id"), coalesce(col("simhash0"), lit(0L)).as("simhash"))
   }
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into 4 16-bit bands;
@@ -140,7 +167,8 @@ object Dedup {
         .as(Seq("band", "bk")))
     val l = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("simhash").as("h_a"))
     val r = banded.select(col("band"), col("bk"), col("id").as("id_b"), col("simhash").as("h_b"))
-    l.join(r, Seq("band", "bk")).filter(col("id_a") < col("id_b"))
+    // shuffle_hash → identical shuffles on both sides → ReusedExchange (see jaccardPairs)
+    l.join(r.hint("shuffle_hash"), Seq("band", "bk")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", call_function("bit_count", col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)

@@ -17,5 +17,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AhoCorasickMatches].getName, "ahocorasick_matches"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AhoCorasickMatches.create(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles.create(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinhashMd5].getName, "minhash_md5"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashMd5.create(exprs)))
   }
 }

@@ -96,7 +96,8 @@ object Similarity {
         .withColumn("bkt", lshBucket(col("qv"), planes, seed = 2000 + t))
       val l = v.select(col("bkt"), col("id").as("id_a"), col("qv").as("va"))
       val r = v.select(col("bkt"), col("id").as("id_b"), col("qv").as("vb"))
-      l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
+      // shuffle_hash self-join → ReusedExchange computes the bucketing once
+      l.join(r.hint("shuffle_hash"), Seq("bkt")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "va", "vb")
     }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
     cand

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Native kernel expressions vs their pure-builtin formulations: bit-identical. */
+class DedupSpec extends AnyFunSuite with SparkTest {
+
+  private def docs = {
+    import spark.implicits._
+    (graft.testgen.CorpusGen.pages(40).zipWithIndex.map { case (gp, i) =>
+      (i.toLong, graft.ingest.HtmlText.extractNormalized(gp.page.html).get)
+    } ++ Seq((1000L, "  short  "), (1001L, "a b c"), (1002L, "x \t y\nz  w x y z w")))
+      .toDF("doc_id", "text")
+  }
+
+  test("word_shingles == HOF shingles formulation, element order included") {
+    val native = docs.select(col("doc_id"), Dedup.shingles(col("text"), 4).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = docs.select(col("doc_id"), Dedup.shinglesHof(col("text"), 4).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native.keySet === hof.keySet)
+    native.keySet.foreach { k =>
+      assert(native(k) === hof(k), s"doc $k shingles diverged")
+    }
+    assert(native.values.exists(_.nonEmpty))
+    assert(native(1001L).isEmpty, "below-n doc must give empty shingles")
+  }
+
+  test("minhash_md5 == HOF md5 minhash formulation") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val native = sh.select(col("doc_id"), Dedup.minhashSig(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = sh.select(col("doc_id"), Dedup.minhashSigHof(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === hof)
+  }
+
+  test("jaccardPairs finds the planted near-duplicate and skips distinct docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base + " lambda" // high overlap
+    val far = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", n = 3,
+      minJaccardBp = 5000L, maxPosting = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash of identical docs is equal; near docs within banding reach") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different content about spark plans and shuffles today")).toDF("id", "text")
+    val sigs = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+}

@@ -102,4 +102,62 @@ object KGPipeline {
     val r = run(pages, goldAnnots, gaz)
     Materialize.write(r.canonical, outPath, nBuckets)
   }
+
+  /**
+   * Fully resumable variant: every stage (annotations → patterns → raw triples →
+   * canonical triples) is materialized through [[graft.runtime.StageCheckpoint]] with
+   * per-partition lineage, keyed by the caller's `fingerprint` (input + config
+   * identity). A restarted run resumes at its first incomplete stage; the final write
+   * goes through [[Materialize.writeResumable]] (per-bucket checkpoints). This is the
+   * production `spark-submit` path for long corpus runs (north rule: resumable from
+   * checkpoint with per-partition lineage + metrics).
+   */
+  def runCheckpointed(pages: Dataset[Page], goldAnnots: Dataset[Annotation],
+      gaz: Gazetteer, stageDir: String, fingerprint: String, outPath: String,
+      nBuckets: Int = 16,
+      msaCfg: GenMSA.Config = GenMSA.Config(),
+      statsCfg: PatternStats.Config = PatternStats.Config())(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cp = graft.runtime.StageCheckpoint(stageDir)
+
+    val annots = cp.materialize("annotations", fingerprint) {
+      Annotate.annotate(pages, gaz).toDF()
+    }.as[Annotation]
+
+    val finalPatterns = cp.materialize("patterns", fingerprint) {
+      val goldUrls = goldAnnots.select($"url").distinct()
+      val trainAnnots = annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
+        .unionByName(goldAnnots)
+      val trainSents = Sentences.fromAnnotations(trainAnnots)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val patterns = GenMSA.learn(trainSents, "gold", msaCfg)
+      val learned = patterns.collect().toSeq
+      val matches = PatternStats.applyPatterns(trainSents, learned, statsCfg)
+      val gold = goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end")
+      val out = PatternStats.score(matches, gold, patterns, statsCfg).toDF()
+      trainSents.unpersist()
+      out
+    }.as[graft.model.Pattern].collect().toSeq
+
+    val rawTriples = cp.materialize("raw_triples", fingerprint) {
+      val allSents = Sentences.fromAnnotations(annots)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mentions = Extract.mergeAdjacent(
+        Extract.mentions(allSents, finalPatterns, statsCfg.matcher))
+      val out = Extract.triples(allSents, mentions).toDF()
+      out
+    }.as[Triple]
+
+    val forms = rawTriples.select($"subj".as("form"))
+    val edges = EntityLink.candidateEdges(forms, minJaccard = 0.6).select($"src", $"dst")
+    val comp = ConnectedComponents.run(edges)
+    val canonical = rawTriples.toDF()
+      .join(comp, rawTriples("subj") === comp("node"), "left")
+      .withColumn("subj2", coalesce(col("component"), col("subj")))
+      .select(col("subj2").as("subj"), col("pred"), col("obj"), col("url"),
+        col("begin"), col("end"), col("profileId"), col("score"))
+      .as[Triple]
+    Materialize.writeResumable(canonical, outPath, nBuckets)
+  }
 }

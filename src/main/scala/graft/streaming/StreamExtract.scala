@@ -66,22 +66,7 @@ object StreamExtract {
     }
 
     // W4 adjacent merge, local mirror of Extract.mergeAdjacent (same page ⇒ same result)
-    val merged = mentions.groupBy(_.annotType).toVector.flatMap { case (_, ms) =>
-      val sorted = ms.sortBy(m => (m.begin, m.end))
-      val out = Vector.newBuilder[Mention]
-      var cur: Mention = null
-      sorted.foreach { m =>
-        if (cur == null) cur = m
-        else if (m.begin <= cur.end + 1)
-          cur = cur.copy(end = math.max(cur.end, m.end),
-            value = cur.value + " " + m.value,
-            profileId = math.min(cur.profileId, m.profileId),
-            score = math.max(cur.score, m.score))
-        else { out += cur; cur = m }
-      }
-      if (cur != null) out += cur
-      out.result()
-    }
+    val merged = mergeAdjacentLocal(mentions)
 
     // sentence-local subject resolution, local mirror of Extract.triples
     val host = "^[a-z]+://([^/]+)".r.findFirstMatchIn(url).map(_.group(1)).getOrElse("")
@@ -102,6 +87,25 @@ object StreamExtract {
         url, m.begin, m.end, m.profileId, m.score)
     }
   }
+
+  /** W4 adjacent merge on one page's mentions (pure; mirrors Extract.mergeAdjacent). */
+  def mergeAdjacentLocal(mentions: Vector[Mention]): Vector[Mention] =
+    mentions.groupBy(_.annotType).toVector.flatMap { case (_, ms) =>
+      val sorted = ms.sortBy(m => (m.begin, m.end))
+      val out = Vector.newBuilder[Mention]
+      var cur: Mention = null
+      sorted.foreach { m =>
+        if (cur == null) cur = m
+        else if (m.begin <= cur.end + 1)
+          cur = cur.copy(end = math.max(cur.end, m.end),
+            value = cur.value + " " + m.value,
+            profileId = math.min(cur.profileId, m.profileId),
+            score = math.max(cur.score, m.score))
+        else { out += cur; cur = m }
+      }
+      if (cur != null) out += cur
+      out.result()
+    }
 
   /** Stateless streaming-legal extraction: Dataset[Page] → Dataset[TimedTriple].
     * Works identically on a batch Dataset (used by StreamingSpec for parity). */

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.testgen.CorpusGen
+
+/** StageCheckpoint semantics + end-to-end resumable pipeline. */
+class ResumeSpec extends AnyFunSuite with SparkTest {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_resume").toString
+
+  test("materialize computes once per fingerprint, recomputes on change") {
+    import spark.implicits._
+    val cp = graft.runtime.StageCheckpoint(tmp())
+    var computed = 0
+    def stage = { computed += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val r1 = cp.materialize("s1", "fp-A")(stage)
+    assert(r1.count() === 2 && computed === 1)
+    val r2 = cp.materialize("s1", "fp-A")(stage)
+    assert(r2.count() === 2 && computed === 1, "same fingerprint must not recompute")
+    assert(cp.wouldResume("s1", "fp-A") && !cp.wouldResume("s1", "fp-B"))
+    cp.materialize("s1", "fp-B")(stage)
+    assert(computed === 2, "changed fingerprint must recompute")
+    val lin = cp.lineage("s1").collect()
+    assert(lin.map(_.getAs[Long]("rows")).sum === 2)
+    assert(lin.forall(_.getAs[String]("fingerprint") == "fp-B"))
+  }
+
+  test("runCheckpointed: crash after stage 1 resumes without recomputing annotations") {
+    import spark.implicits._
+    val (stageDir, outDir) = (tmp(), tmp() + "/triples")
+    val gen = CorpusGen.pages(60)
+    val pages = spark.createDataset(gen.map(_.page))
+    val gold = spark.createDataset(gen.take(30).flatMap(CorpusGen.goldAnnotations))
+    val fp = "corpus-60-v1"
+
+    val cps = graft.pipeline.KGPipeline.runCheckpointed(
+      pages, gold, CorpusGen.gazetteer, stageDir, fp, outDir)
+    val total = spark.read.parquet(outDir).count()
+    assert(total > 0 && cps.count() > 0)
+
+    // simulate a crash AFTER annotations+patterns but before triples: delete the
+    // raw_triples stage and the final output, keep earlier stage checkpoints
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete()
+    }
+    rmrf(s"$stageDir/raw_triples"); rmrf(s"$stageDir/raw_triples__lineage")
+    rmrf(outDir); rmrf(outDir + "_checkpoints")
+
+    val annotsMtime = new java.io.File(s"$stageDir/annotations").lastModified()
+    val resumed = graft.pipeline.KGPipeline.runCheckpointed(
+      pages, gold, CorpusGen.gazetteer, stageDir, fp, outDir)
+    assert(spark.read.parquet(outDir).count() === total,
+      "resumed run must reproduce the identical output")
+    assert(new java.io.File(s"$stageDir/annotations").lastModified() === annotsMtime,
+      "annotations stage was recomputed on resume")
+  }
+}

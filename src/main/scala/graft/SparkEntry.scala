@@ -224,6 +224,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // ---- two-slot relation extraction (subject bound by the match itself) ----
+    "q29_relation_extract" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      DocExtract.relationExtract(t(s, d, "documents"), "doc_id", "text",
+        Seq(DocExtract.relationPattern("merge", "merge_rel")),
+        Seq("spark", "join", "window", "filter").map(w =>
+          graft.nlp.GazEntry(w, "entity", "kw")))
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -476,6 +485,19 @@ object SparkEntry {
                   WHERE lower(a.tok) = 'merge')
           SELECT doc_id, 'follows_merge' AS pred, obj, count(*) AS n_hits
           FROM hit GROUP BY doc_id, pred, obj""",
+
+    "q29_relation_extract" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          pos AS (SELECT doc_id, unnest(tk) AS tok,
+                         generate_subscripts(tk, 1) AS i FROM toks),
+          m AS (SELECT p.doc_id, s.tok AS subj, o.tok AS obj
+                FROM pos p
+                JOIN pos s ON s.doc_id = p.doc_id AND s.i = p.i - 1
+                JOIN pos o ON o.doc_id = p.doc_id AND o.i = p.i + 1
+                WHERE lower(p.tok) = 'merge'
+                  AND lower(s.tok) IN ('spark','join','window','filter'))
+          SELECT doc_id, subj, 'merge_rel' AS pred, obj, count(*) AS n_hits
+          FROM m GROUP BY doc_id, subj, pred, obj""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

@@ -25,7 +25,8 @@ final case class GridCol(begin: Int, end: Int, labels: Array[String], text: Stri
   }
 }
 
-final case class Grid(url: String, sentBegin: Int, sentEnd: Int, cols: IndexedSeq[GridCol]) {
+final case class Grid(url: String, sentBegin: Int, sentEnd: Int, cols: IndexedSeq[GridCol],
+    lookupSpans: Set[(Int, Int)] = Set.empty) {
   /** All distinct labels in this grid (for inverted-index candidate pruning). */
   lazy val labelSet: Set[String] = cols.iterator.flatMap(_.labels).toSet
   def size: Int = cols.size
@@ -36,6 +37,10 @@ object Grid {
   val End = ":end"
   val Target = ":target"
   val Gap = ":gap" // rendered "-" in profile strings
+  /** Two-slot (relation) patterns: binds the subject span directly in the match —
+    * slot columns must carry a gazetteer Lookup label. Spark-side extension beyond the
+    * reference (whose subjects come from the frame join, PopulateFrame.java:336-376). */
+  val Subject = ":subject"
 
   def label(annotType: String, feature: String, value: String): String =
     ":" + annotType.toLowerCase + "|" + feature.toLowerCase + "|" +
@@ -80,7 +85,11 @@ object Grid {
       GridCol(sentBegin, sentBegin, Array(Start)) +:
       cols :+
       GridCol(sentEnd, sentEnd, Array(End))
-    Grid(url, sentBegin, sentEnd, withSentinels)
+    // exact Lookup annotation extents: the `:subject` slot binds only spans that ARE
+    // an entity mention (a run of adjacent distinct entities is not one subject)
+    val lookupSpans = others.iterator.filter(_.annotType == "Lookup")
+      .map(a => (a.begin, a.end)).toSet
+    Grid(url, sentBegin, sentEnd, withSentinels, lookupSpans)
   }
 
   /** Trim a grid to ±trim columns around the (first) target column — the reference's

@@ -62,6 +62,44 @@ object DocExtract {
       .select("term", "n_docs", "n_occ")
   }
 
+  /** A hand-seeded two-slot relation pattern: gazetteer `:subject` immediately before
+    * the trigger token, `:target` immediately after — minimal-span ⇒ single tokens. */
+  def relationPattern(trigger: String, pred: String): Pattern =
+    Pattern(1L, Seq(Grid.Subject, s":token|string|${trigger.toLowerCase}", Grid.Target),
+      annotType = pred, profileType = 0, group = "seed",
+      score = 1.0, truePos = 0, falsePos = 0, rows = 0)
+
+  /**
+   * Two-slot relation extraction over a documents table: (id, subj, pred, obj, n_hits)
+   * with the subject bound by the match itself (entity Lookup slot). Same annotate →
+   * sentence → matcher path as patternExtract.
+   */
+  def relationExtract(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[Pattern], gazEntries: Seq[GazEntry])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gazB = spark.sparkContext.broadcast(Gazetteer.build(gazEntries))
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(patterns))
+    val hits = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val index = idxB.value
+        val g = gazB.value
+        it.flatMap { case (id, text) =>
+          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            graft.mention.Sentences.group(s"synth://doc/$id", annots).flatMap { s =>
+              val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+              PatternMatcher.matchAll(grid, index)
+                .filter(_.subjBegin >= 0)
+                .map(h => (id, h.subjValue, h.pattern.annotType, h.value))
+            }
+          }
+        }
+      }.toDF("doc_id", "subj", "pred", "obj")
+    hits.groupBy("doc_id", "subj", "pred", "obj").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** A hand-seeded single-anchor pattern: ":token|string|<trigger>" followed by a
     * one-token `:target` (minimal-span rule ⇒ exactly the next token). */
   def triggerPattern(trigger: String): Pattern =

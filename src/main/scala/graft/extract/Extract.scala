@@ -64,6 +64,47 @@ object Extract {
   }
 
   /**
+   * Two-slot relation extraction: patterns containing a `:subject` slot bind BOTH
+   * spans in one match, so the triple is emitted directly — no nearest-entity
+   * resolution. A Spark-side extension beyond the reference (whose subjects come from
+   * the frame-instance join, /root/reference/src/msa/PopulateFrame.java:336-376);
+   * precision behavior is governed by the same stats gate as single-slot patterns.
+   */
+  def relationTriples(sentences: Dataset[SentenceAnnots], relPatterns: Seq[Pattern],
+      prm: PatternMatcher.Params = PatternMatcher.Params())(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(relPatterns))
+    sentences.mapPartitions { it =>
+      val index = idxB.value
+      it.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
+        else PatternMatcher.matchAll(grid, index).iterator
+          .filter(_.subjBegin >= 0)
+          .map { h =>
+            Triple(h.subjValue, h.pattern.annotType,
+              PatternMatcher.trimTrailingPunct(h.value),
+              s.url, h.targetBegin, h.targetEnd, h.pattern.profileId, h.pattern.score)
+          }
+      }
+    }
+  }
+
+  /**
+   * Upgrade a learned single-slot pattern to a two-slot relation pattern: the first
+   * entity-Lookup literal BEFORE the target slot becomes the `:subject` slot (the
+   * learned context already proves an entity mention occupies that position).
+   * None if the pattern has no such literal.
+   */
+  def toRelationPattern(p: Pattern): Option[Pattern] = {
+    val ti = p.toks.indexOf(Grid.Target)
+    val si = p.toks.indexWhere(_.startsWith(":lookup|majortype|"))
+    if (si >= 0 && ti > si) Some(p.copy(toks = p.toks.updated(si, Grid.Subject)))
+    else None
+  }
+
+  /**
    * Resolve subjects sentence-locally and emit raw triples. Entity Lookups (majorType
    * == subjectMajorType) that precede the mention in the same sentence provide the
    * subject; otherwise the url host does.

@@ -26,14 +26,19 @@ object PatternMatcher {
 
   final case class Compiled(pattern: Pattern, elems: Vector[String], literals: Vector[String])
 
-  final case class Hit(pattern: Pattern, targetBegin: Int, targetEnd: Int, value: String)
+  final case class Hit(pattern: Pattern, targetBegin: Int, targetEnd: Int, value: String,
+      subjBegin: Int = -1, subjEnd: Int = -1, subjValue: String = "")
+
+  /** One full match: target span + optional subject span (char offsets). */
+  final case class Span(tb: Int, te: Int, sb: Int, se: Int)
 
   def compile(p: Pattern): Compiled = {
     // collapse consecutive :target labels to one slot
     val elems = p.toks.foldLeft(Vector.empty[String]) { (acc, t) =>
       if (t == Grid.Target && acc.lastOption.contains(Grid.Target)) acc else acc :+ t
     }
-    val lits = elems.filter(t => t != Grid.Target && t != Grid.Gap).toVector
+    val lits = elems.filter(t =>
+      t != Grid.Target && t != Grid.Gap && t != Grid.Subject).toVector
     Compiled(p, elems, lits)
   }
 
@@ -72,16 +77,26 @@ object PatternMatcher {
   }
 
   /** All raw target spans (char offsets) for one compiled pattern on one grid. */
-  def matchOne(grid: Grid, c: Compiled, prm: Params = Params()): Vector[(Int, Int)] = {
+  def matchOne(grid: Grid, c: Compiled, prm: Params = Params()): Vector[(Int, Int)] =
+    matchOneFull(grid, c, prm).map(s => (s.tb, s.te))
+
+  /** Full matches incl. the subject span of two-slot relation patterns. */
+  def matchOneFull(grid: Grid, c: Compiled, prm: Params = Params()): Vector[Span] = {
     val cols = grid.cols
     val n = cols.size
     if (n > prm.maxGridLen) return Vector.empty // ref maxGridLen cap, ProfileMatcher.java:32,121
-    val results = mutable.LinkedHashSet.empty[(Int, Int)]
+    val results = mutable.LinkedHashSet.empty[Span]
+
+    def realToken(t: Int): Boolean =
+      !(cols(t).has(Grid.Start) || cols(t).has(Grid.End))
+    def hasLookup(t: Int): Boolean =
+      cols(t).labels.exists(_.startsWith(":lookup|"))
 
     // backtracking: place elems(k) starting at column index ci
-    def place(k: Int, ci: Int, mustBeAdjacent: Boolean, tb: Int, te: Int): Unit = {
+    def place(k: Int, ci: Int, mustBeAdjacent: Boolean,
+        tb: Int, te: Int, sb: Int, se: Int): Unit = {
       if (k == c.elems.length) {
-        if (tb >= 0) results += ((tb, te))
+        if (tb >= 0) results += Span(tb, te, sb, se)
         return
       }
       val elem = c.elems(k)
@@ -90,47 +105,63 @@ object PatternMatcher {
         // time; precision is enforced downstream by the stats gate)
         var skip = 0
         while (skip <= prm.maxGapSpan && ci + skip <= n) {
-          place(k + 1, ci + skip, mustBeAdjacent = true, tb, te)
+          place(k + 1, ci + skip, mustBeAdjacent = true, tb, te, sb, se)
           skip += 1
         }
         // note: the skipped columns start at ci; next element must start at ci+skip
-      } else if (elem == Grid.Target) {
-        var len = 1
-        while (len <= prm.maxTargetLen && ci + len <= n) {
-          var ok = true
-          var t = ci
-          while (ok && t < ci + len) {
-            // target columns must be real tokens (not sentinels)
-            val col = cols(t)
-            if (col.has(Grid.Start) || col.has(Grid.End)) ok = false
-            t += 1
+      } else if (elem == Grid.Target || elem == Grid.Subject) {
+        val isSubj = elem == Grid.Subject
+        // slot columns: real tokens; subject slots additionally require a gazetteer
+        // Lookup label on every consumed column AND the whole span to be an exact
+        // Lookup annotation extent (a run of adjacent distinct entities is not one
+        // subject mention)
+        def colOk(t: Int): Boolean = realToken(t) && (!isSubj || hasLookup(t))
+        val starts: Seq[Int] =
+          if (mustBeAdjacent) Seq(ci)
+          else (ci until n) // leading slot: anchor anywhere (same rule as first literal)
+        starts.foreach { s =>
+          var len = 1
+          while (len <= prm.maxTargetLen && s + len <= n) {
+            var ok = true
+            var t = s
+            while (ok && t < s + len) { if (!colOk(t)) ok = false; t += 1 }
+            if (ok) {
+              val (b, e) = (cols(s).begin, cols(s + len - 1).end)
+              if (isSubj) {
+                if (grid.lookupSpans.contains((b, e)))
+                  place(k + 1, s + len, mustBeAdjacent = true, tb, te, b, e)
+              }
+              else place(k + 1, s + len, mustBeAdjacent = true, b, e, sb, se)
+            }
+            len += 1
           }
-          if (ok) place(k + 1, ci + len, mustBeAdjacent = true,
-            cols(ci).begin, cols(ci + len - 1).end)
-          len += 1
         }
       } else {
         if (mustBeAdjacent) {
           if (ci < n && cols(ci).has(elem))
-            place(k + 1, ci + 1, mustBeAdjacent = true, tb, te)
+            place(k + 1, ci + 1, mustBeAdjacent = true, tb, te, sb, se)
         } else {
           // first literal: try every start column
           var s = ci
           while (s < n) {
-            if (cols(s).has(elem)) place(k + 1, s + 1, mustBeAdjacent = true, tb, te)
+            if (cols(s).has(elem))
+              place(k + 1, s + 1, mustBeAdjacent = true, tb, te, sb, se)
             s += 1
           }
         }
       }
     }
-    place(0, 0, mustBeAdjacent = false, -1, -1)
-    // Minimal-span rule: among spans sharing a target start, keep the shortest valid
-    // one. A right-context anchor already forces the exact span; with no right anchor
-    // the unbounded tail would otherwise enumerate 1..maxTargetLen FP spans per site
-    // (the reference ties target extent to a separate target pattern instead —
-    // src/msa/MSAUtils.java:443-491; minimal-span is our deterministic equivalent).
-    results.toVector.groupBy(_._1).valuesIterator
-      .map(_.minBy(_._2)).toVector.sortBy(identity)
+    place(0, 0, mustBeAdjacent = false, -1, -1, -1, -1)
+    // Minimal-target / maximal-subject rule: among spans sharing a target start, keep
+    // the shortest valid target (a right-context anchor already forces the exact span;
+    // with no right anchor the unbounded tail would otherwise enumerate 1..maxTargetLen
+    // FP spans per site — the reference ties target extent to a separate target pattern
+    // instead, src/msa/MSAUtils.java:443-491; minimal-span is our deterministic
+    // equivalent) and the LONGEST subject (the full entity mention: subject columns are
+    // all Lookup-labelled, so the maximal run is the whole gazetteer span).
+    results.toVector.groupBy(_.tb).valuesIterator
+      .map(_.minBy(s => (s.te, -(s.se - s.sb), s.sb)))
+      .toVector.sortBy(s => (s.tb, s.te, s.sb, s.se))
   }
 
   /**
@@ -143,17 +174,18 @@ object PatternMatcher {
     val cands = index.candidates(grid.labelSet)
     val accepted = mutable.ArrayBuffer.empty[Hit]
     cands.foreach { c =>
-      matchOne(grid, c, prm)
-        .sortBy { case (b, e) => (b, e - b) } // leftmost, then shortest
-        .foreach { case (b, e) =>
+      matchOneFull(grid, c, prm)
+        .sortBy(s => (s.tb, s.te - s.tb)) // leftmost, then shortest
+        .foreach { s =>
           // drop any hit overlapping an already-accepted span: higher-priority
           // (longer) patterns own their sites (ref targetRangeList,
           // ProfileMatcher.java:527-540)
           val overlaps = suppressOverlaps &&
-            accepted.exists(h => h.targetBegin < e && h.targetEnd > b)
+            accepted.exists(h => h.targetBegin < s.te && h.targetEnd > s.tb)
           if (!overlaps) {
-            val value = coveredText(grid, b, e)
-            accepted += Hit(c.pattern, b, e, value)
+            val value = coveredText(grid, s.tb, s.te)
+            val subjValue = if (s.sb >= 0) coveredText(grid, s.sb, s.se) else ""
+            accepted += Hit(c.pattern, s.tb, s.te, value, s.sb, s.se, subjValue)
           }
         }
     }

@@ -30,16 +30,20 @@ object ExtractJob {
   def run(pages: Dataset[Page], patterns: Seq[Pattern], gaz: graft.nlp.Gazetteer,
       outPath: String)(implicit spark: SparkSession): Result = {
     import spark.implicits._
+    // same pattern split as KGPipeline/StreamExtract: two-slot upgrades bind subjects
+    val upgraded = patterns.map(p => p -> graft.extract.Extract.toRelationPattern(p))
     val gazB = spark.sparkContext.broadcast(gaz)
     val idxB = spark.sparkContext.broadcast(
-      graft.extract.PatternMatcher.buildIndex(patterns))
+      graft.extract.PatternMatcher.buildIndex(upgraded.collect { case (p, None) => p }))
+    val relB = spark.sparkContext.broadcast(
+      graft.extract.PatternMatcher.buildIndex(upgraded.collect { case (_, Some(r)) => r }))
     val triples: Dataset[Triple] = pages.mapPartitions { it =>
-      val (g, idx) = (gazB.value, idxB.value)
+      val (g, idx, rel) = (gazB.value, idxB.value, relB.value)
       it.flatMap { p =>
         val raw = if (p.text != null && p.text.nonEmpty) Option(p.text)
                   else Option(graft.ingest.HtmlText.extract(p.html))
         raw.flatMap(graft.ingest.Normalize.normalize).toVector.flatMap { t =>
-          graft.streaming.StreamExtract.extractPage(p.url, t, g, idx)
+          graft.streaming.StreamExtract.extractPage(p.url, t, g, idx, relIndex = rel)
         }
       }
     }

@@ -70,15 +70,22 @@ object KGPipeline {
     val finalPatterns = PatternStats.score(matches, gold, patterns, statsCfg)
       .collect().toSeq
 
-    // 5. extract on ALL pages. allSents feeds both the matcher and the subject
-    // resolution join; rawTriples feeds both the CC edge derivation and the final
-    // canonical output — persist both or every downstream action recomputes the whole
-    // extraction (observed 7× wall-clock without these).
+    // 5. extract on ALL pages. Patterns whose learned context contains an entity
+    // literal before the target upgrade to two-slot relation patterns — their subject
+    // is bound by the match itself (exact Lookup extent); the rest go through mention
+    // extraction + sentence-local nearest-entity resolution. allSents feeds both the
+    // matcher and the subject resolution join; rawTriples feeds both the CC edge
+    // derivation and the final canonical output — persist both or every downstream
+    // action recomputes the whole extraction (observed 7× wall-clock without these).
     val allSents = Sentences.fromAnnotations(annots)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val upgraded = finalPatterns.map(p => p -> Extract.toRelationPattern(p))
+    val relPatterns = upgraded.collect { case (_, Some(rel)) => rel }
+    val plainPatterns = upgraded.collect { case (p, None) => p }
+    val relTriples = Extract.relationTriples(allSents, relPatterns, statsCfg.matcher)
     val mentions = Extract.mergeAdjacent(
-      Extract.mentions(allSents, finalPatterns, statsCfg.matcher))
-    val rawTriples = Extract.triples(allSents, mentions)
+      Extract.mentions(allSents, plainPatterns, statsCfg.matcher))
+    val rawTriples = Extract.triples(allSents, mentions).unionByName(relTriples)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 6. canonicalize subjects: blocking-join edges + connected components
@@ -143,10 +150,13 @@ object KGPipeline {
     val rawTriples = cp.materialize("raw_triples", fingerprint) {
       val allSents = Sentences.fromAnnotations(annots)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val upgraded = finalPatterns.map(p => p -> Extract.toRelationPattern(p))
+      val relPatterns = upgraded.collect { case (_, Some(rel)) => rel }
+      val plainPatterns = upgraded.collect { case (p, None) => p }
+      val relTriples = Extract.relationTriples(allSents, relPatterns, statsCfg.matcher)
       val mentions = Extract.mergeAdjacent(
-        Extract.mentions(allSents, finalPatterns, statsCfg.matcher))
-      val out = Extract.triples(allSents, mentions).toDF()
-      out
+        Extract.mentions(allSents, plainPatterns, statsCfg.matcher))
+      Extract.triples(allSents, mentions).unionByName(relTriples).toDF()
     }.as[Triple]
 
     val forms = rawTriples.select($"subj".as("form"))

@@ -47,13 +47,28 @@ final case class TimedTriple(
 object StreamExtract {
 
   /** Pure per-page extraction: the whole batch pipeline (annotate → sentences → match →
-    * W4 adjacent merge → sentence-local subject resolution) run locally for one page.
-    * Mirrors Extract.mentions/mergeAdjacent/triples semantics without joins/windows. */
+    * W4 adjacent merge → sentence-local subject resolution, plus direct two-slot
+    * relation matches) run locally for one page. Mirrors
+    * Extract.mentions/mergeAdjacent/triples ∪ Extract.relationTriples semantics
+    * without joins/windows. */
   def extractPage(url: String, text: String, gaz: Gazetteer,
       index: PatternMatcher.Index, prm: PatternMatcher.Params = PatternMatcher.Params(),
-      subjectMajorType: String = "entity"): Vector[Triple] = {
+      subjectMajorType: String = "entity",
+      relIndex: PatternMatcher.Index = StreamExtract.EmptyIndex): Vector[Triple] = {
     val annots = Annotate.annotateOne(url, text, gaz)
     val sents = Sentences.group(url, annots.toVector)
+
+    // two-slot relation patterns: subject bound by the match, emitted directly
+    // (local mirror of Extract.relationTriples)
+    val relTriples = sents.flatMap { s =>
+      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+      if (PatternMatcher.isAllCapsSentence(grid)) Vector.empty
+      else PatternMatcher.matchAll(grid, relIndex, prm)
+        .filter(_.subjBegin >= 0)
+        .map(h => Triple(h.subjValue, h.pattern.annotType,
+          PatternMatcher.trimTrailingPunct(h.value),
+          s.url, h.targetBegin, h.targetEnd, h.pattern.profileId, h.pattern.score))
+    }
 
     val mentions = sents.flatMap { s =>
       val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
@@ -70,7 +85,7 @@ object StreamExtract {
 
     // sentence-local subject resolution, local mirror of Extract.triples
     val host = "^[a-z]+://([^/]+)".r.findFirstMatchIn(url).map(_.group(1)).getOrElse("")
-    merged.sortBy(m => (m.annotType, m.begin, m.end)).map { m =>
+    val resolved = merged.sortBy(m => (m.annotType, m.begin, m.end)).map { m =>
       val sent = sents.find(s => m.begin >= s.sentBegin && m.begin < s.sentEnd)
       val cand = sent.toVector.flatMap(_.annots.filter(a =>
         a.annotType == "Lookup" &&
@@ -86,7 +101,11 @@ object StreamExtract {
       Triple(best.map(_._3).getOrElse(host), m.annotType, m.value,
         url, m.begin, m.end, m.profileId, m.score)
     }
+    resolved ++ relTriples
   }
+
+  /** Shared empty pattern index (no-op relation pass). */
+  val EmptyIndex: PatternMatcher.Index = PatternMatcher.buildIndex(Nil)
 
   /** W4 adjacent merge on one page's mentions (pure; mirrors Extract.mergeAdjacent). */
   def mergeAdjacentLocal(mentions: Vector[Mention]): Vector[Mention] =
@@ -113,15 +132,21 @@ object StreamExtract {
       prm: PatternMatcher.Params = PatternMatcher.Params())(
       implicit spark: SparkSession): Dataset[TimedTriple] = {
     import spark.implicits._
+    // same pattern split as KGPipeline: upgradable patterns bind their subject
+    // in-match (two-slot), the rest resolve subjects sentence-locally
+    val upgraded = patterns.map(p => p -> graft.extract.Extract.toRelationPattern(p))
     val gazB = spark.sparkContext.broadcast(gaz)
-    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(patterns))
+    val idxB = spark.sparkContext.broadcast(
+      PatternMatcher.buildIndex(upgraded.collect { case (p, None) => p }))
+    val relB = spark.sparkContext.broadcast(
+      PatternMatcher.buildIndex(upgraded.collect { case (_, Some(r)) => r }))
     pages.mapPartitions { it =>
-      val (g, idx) = (gazB.value, idxB.value)
+      val (g, idx, rel) = (gazB.value, idxB.value, relB.value)
       it.flatMap { p =>
         val raw = if (p.text != null && p.text.nonEmpty) Option(p.text)
                   else Option(graft.ingest.HtmlText.extract(p.html))
         raw.flatMap(graft.ingest.Normalize.normalize).toVector.flatMap { t =>
-          extractPage(p.url, t, g, idx, prm).map(tr =>
+          extractPage(p.url, t, g, idx, prm, relIndex = rel).map(tr =>
             TimedTriple(tr.subj, tr.pred, tr.obj, tr.url, tr.begin, tr.end,
               tr.profileId, tr.score, p.warc_ts))
         }

@@ -23,7 +23,11 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     Pattern(2L, Seq(":token|string|headquartered", ":token|string|in", graft.align.Grid.Target),
       "hq-city", 0, "seed", 1.0, 0, 0, 0),
     Pattern(3L, Seq(":token|string|employs", graft.align.Grid.Target,
-      ":token|string|people"), "employee-count", 0, "seed", 1.0, 0, 0, 0))
+      ":token|string|people"), "employee-count", 0, "seed", 1.0, 0, 0, 0),
+    // entity literal before target → auto-upgrades to a two-slot relation pattern,
+    // exercising the relation path on BOTH sides of the parity test
+    Pattern(4L, Seq(":lookup|majortype|org", ":token|string|employs",
+      graft.align.Grid.Target), "employer-rel", 0, "seed", 1.0, 0, 0, 0))
 
   private def tripleKey(t: TimedTriple) = (t.subj, t.pred, t.obj, t.url, t.begin, t.end)
 
@@ -32,12 +36,17 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val gen = CorpusGen.pages(40)
     val pages = spark.createDataset(gen.map(_.page))
 
-    // batch path (joins + windows)
+    // batch path (joins + windows), with the same plain/relation pattern split
     val annots = graft.nlp.Annotate.annotate(pages, CorpusGen.gazetteer)
     val sents = graft.mention.Sentences.fromAnnotations(annots)
+    val upgraded = seedPatterns.map(p => p -> graft.extract.Extract.toRelationPattern(p))
+    val plain = upgraded.collect { case (p, None) => p }
+    val rel = upgraded.collect { case (_, Some(r)) => r }
+    assert(rel.nonEmpty, "parity test must exercise the relation path")
     val batchMentions = graft.extract.Extract.mergeAdjacent(
-      graft.extract.Extract.mentions(sents, seedPatterns))
+      graft.extract.Extract.mentions(sents, plain))
     val batch = graft.extract.Extract.triples(sents, batchMentions)
+      .unionByName(graft.extract.Extract.relationTriples(sents, rel))
       .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.begin, t.end)).toSet
 
     // streaming-legal path (narrow ops only), run on the same batch Dataset

@@ -27,5 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashMd5].getName, "minhash_md5"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashMd5.create(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_i64"),
+      new ExpressionInfo(classOf[QuantizeI64].getName, "quantize_i64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizeI64.create(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("qdot_i64"),
+      new ExpressionInfo(classOf[QdotI64].getName, "qdot_i64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QdotI64.create(exprs)))
   }
 }

@@ -96,7 +96,9 @@ object Tokenizer {
       id += 1
     }
     scan(text).foreach { t =>
-      val v = text.substring(t.begin, t.end)
+      // value + features capped at 500 chars (P4, ref GateBatch.java:555-558) —
+      // pathological unbroken runs would otherwise bloat every downstream row
+      val v = safeValue(text, t.begin, t.end)
       val feats = mutable.Map[String, String](
         "string" -> v, "root" -> v.toLowerCase, "kind" -> t.kind,
         "length" -> (t.end - t.begin).toString)

@@ -66,6 +66,29 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     assert(after === Map(":a" -> 99L, ":b" -> 20L, ":c" -> 30L))
   }
 
+  test("S6/S8: annotation and match sinks append, partition-pruned by annotType") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val a = graft.model.Annotation("u1", 0, "Token", 0, 3, "abc", Map("kind" -> "word"), "t", 1.0)
+    val b = a.copy(annotId = 1, annotType = "Sentence")
+    Stores.appendAnnotations(spark.createDataset(Seq(a)), s"$dir/annots")
+    Stores.appendAnnotations(spark.createDataset(Seq(b)), s"$dir/annots") // append, not overwrite
+    val back = spark.read.parquet(s"$dir/annots")
+    assert(back.count() === 2)
+    assert(new java.io.File(s"$dir/annots/annotType=Token").exists,
+      "annotType partitioning missing")
+    Stores.appendMatches(spark.createDataset(Seq(
+      graft.model.PatternMatch(1L, 1L, "u1", 0, 3, "abc"))), s"$dir/matches")
+    assert(spark.read.parquet(s"$dir/matches").count() === 1)
+  }
+
+  test("P4: annotation value capped at 500 chars (ref GateBatch value cap)") {
+    val long = "x" * 1200
+    assert(graft.nlp.Tokenizer.safeValue(long, 0, 1200).length === 500)
+    val annots = graft.nlp.Tokenizer.annotate("u", long)
+    assert(annots.filter(_.annotType == "Token").forall(_.value.length <= 500))
+  }
+
   test("resumable materialize: only pending buckets are written on resume") {
     import spark.implicits._
     val path = tmpDir() + "/triples"

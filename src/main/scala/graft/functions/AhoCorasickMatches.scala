@@ -50,8 +50,11 @@ final case class AhoCorasickMatches(child: Expression, terms: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val acRef = ctx.addReferenceObj("ahoc", automaton, classOf[AhoCorasick].getName)
+    // NOTE: must be the Java *source* syntax for the array type — addReferenceObj splices
+    // this string into a generated cast, and Janino rejects the JVM binary name
+    // ("[Lorg.apache.spark.unsafe.types.UTF8String;") that Array[_].getName returns.
     val termsRef = ctx.addReferenceObj("ahocTerms", termArr,
-      classOf[Array[UTF8String]].getName)
+      "org.apache.spark.unsafe.types.UTF8String[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.AhoCorasickMatches$$.MODULE$$.run(
          |  $acRef, $termsRef, $c.toString());""".stripMargin)

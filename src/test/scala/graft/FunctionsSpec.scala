@@ -53,7 +53,23 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     // "*(1)" is the WholeStageCodegen marker in the compact plan string; a fallback
     // (CodegenFallback or interpreted Project) would drop the asterisk
     assert(plan.contains("*(1) Project"), s"plan lost codegen:\n$plan")
-    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 3))
+    // the plan string is printed BEFORE Janino compiles the generated java, so the
+    // assertion above alone passes even when compilation fails at runtime and Spark
+    // silently interprets the stage. Disable the silent fallback: with
+    // codegen.fallback=false a Janino CompileException propagates and fails this test.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevProjFactory =
+      spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      // CODEGEN_ONLY also makes UnsafeProjection generation errors fatal rather than
+      // silently dropping to InterpretedUnsafeProjection
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 3))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevProjFactory)
+    }
   }
 
   test("null text and non-foldable terms are handled") {

@@ -21,9 +21,9 @@ import graft.model.{Pattern, SentenceAnnots}
  *
  * Scale shape: block assignment is one window rank over the (small, validated) training
  * slice; the O(B²·L²) kernel runs inside flatMapGroups per block, embarrassingly
- * parallel across blocks. Profile ids are derived by dense_rank over the canonical
- * pattern key — never auto-assigned — so ids are identical at any parallelism
- * (SURVEY.md §7.4.4).
+ * parallel across blocks. Profile ids are a content hash (xxhash64) of the canonical
+ * pattern key — never auto-assigned, no global sort — so ids are identical at any
+ * parallelism (SURVEY.md §7.4.4).
  */
 object GenMSA {
 
@@ -68,14 +68,16 @@ object GenMSA {
       }
       .toDF("annotType", "toks")
 
-    // multiplicity + minRows gate + derived profile ids
+    // multiplicity + minRows gate + derived profile ids. The id is a content hash of
+    // the canonical (annotType, toks) key: deterministic across runs AND parallelism
+    // levels, and unlike a dense_rank over an unpartitioned window it never funnels
+    // every learned pattern through a single-partition global sort.
     val counted = rawPatterns
       .groupBy($"annotType", $"toks")
       .agg(count(lit(1)).as("rows"))
       .filter($"rows" >= cfg.minRows)
-      .withColumn("key", concat_ws("\u0001", $"annotType", concat_ws("\u0001", $"toks")))
-      .withColumn("profileId", dense_rank().over(Window.orderBy($"key")).cast("long"))
-      .drop("key")
+      .withColumn("profileId",
+        xxhash64(concat_ws("\u0001", $"annotType", concat_ws("\u0001", $"toks"))))
 
     counted.select(
       $"profileId",

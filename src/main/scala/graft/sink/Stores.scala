@@ -31,8 +31,9 @@ object Stores {
   /**
    * S7: upsert patterns keyed by (annotType, toks, group): a new row replaces an
    * existing row with the same key (newest stats win); unmatched existing rows are
-   * kept. Two-phase for atomicity without Iceberg: write the merged result to a
-   * staging dir, then swap.
+   * kept. The post-gate pattern store is small by construction, so the merged result
+   * is collected to the driver and rewritten in place (the parquet stand-in for
+   * Iceberg MERGE INTO; a real deployment swaps this for the Iceberg call).
    */
   def upsertPatterns(newPatterns: Dataset[Pattern], path: String)(
       implicit spark: SparkSession): Dataset[Pattern] = {
@@ -41,10 +42,12 @@ object Stores {
       try spark.read.parquet(path).withColumn("gen", lit(0))
       catch { case _: Throwable => spark.emptyDataset[Pattern].toDF().withColumn("gen", lit(0)) }
     val merged = existing.unionByName(newPatterns.toDF().withColumn("gen", lit(1)))
-      .withColumn("key", concat_ws("", $"annotType", concat_ws("", $"toks"), $"group"))
+      // partition the window by the key columns directly: no string-built merge key,
+      // so distinct (annotType, toks, group) tuples can never collide
       .withColumn("rn", row_number().over(
-        Window.partitionBy($"key").orderBy($"gen".desc, $"profileId".asc)))
-      .filter($"rn" === 1).drop("rn", "key", "gen")
+        Window.partitionBy($"annotType", $"toks", $"group")
+          .orderBy($"gen".desc, $"profileId".asc)))
+      .filter($"rn" === 1).drop("rn", "gen")
       .as[Pattern]
     val staged = merged.collect() // pattern store is small by construction (post-gate)
     val out = spark.createDataset(staged.toIndexedSeq)

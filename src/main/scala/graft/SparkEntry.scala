@@ -18,9 +18,10 @@ import graft.text.TextAnalysis
  *  - money/double aggregates go through round(x*100) → BIGINT cents before summing;
  *  - counts from size()/row_number() are cast to BIGINT (DuckDB len()/windows emit
  *    BIGINT; Spark emits INT);
- *  - content hashes are md5 hex (identical in both engines); xxhash64-based operators
- *    (SimHash, LSH buckets) have no SQL twin and are registered without an oracle
- *    (driver falls back to a rows-only check).
+ *  - content hashes are md5 hex (identical in both engines); SimHash token hashes and
+ *    LSH hyperplane signs are md5-derived too (15-hex-char prefix as a 60-bit integer;
+ *    low bit of the first hex char), so every operator — including SimHash and the
+ *    LSH-bucketed ANN paths — has an exact DuckDB oracle twin.
  */
 object SparkEntry {
 
@@ -176,9 +177,10 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         n = 4, numHashes = 12, bands = 4, minJaccardBp = 3000L)),
 
-    // ---- dedup: SimHash (xxhash64-based; no SQL oracle → rows-only check) ----
+    // ---- dedup: SimHash (md5-derived 60-bit hash; exact DuckDB twin) ----
     "q21_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 12)),
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 12)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
     // ---- similarity: brute-force cosine top-k (quantized-exact) ----
     "q22_cosine_topk" -> ((s, d) => {
@@ -188,7 +190,7 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
-    // ---- similarity: LSH-bucketed ANN (scale path; rows-only check) ----
+    // ---- similarity: LSH-bucketed ANN (scale path; md5-derived hyperplanes) ----
     "q23_ann_lsh" -> ((s, d) => {
       val corpus = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshTopK(corpus, corpus.filter(col("id") < 20), k = 3)
@@ -196,7 +198,7 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
-    // ---- dedup: embedding-cosine near-dup (rows-only check) ----
+    // ---- dedup: embedding-cosine near-dup (md5-derived hyperplanes) ----
     "q24_cosine_neardup" -> ((s, d) => {
       val corpus = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.cosineNearDupPairs(corpus, minCosBp = 4500L, planes = 4, tables = 4)
@@ -416,6 +418,90 @@ object SparkEntry {
           FROM s""",
 
     "q19_jaccard_neardup" -> jaccardPairsSql,
+
+    "q21_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
+          h AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+          bits AS (SELECT doc_id, b, sum((h >> b) & 1) AS c, count(*) AS n
+                   FROM h, range(60) r(b) GROUP BY doc_id, b),
+          sig0 AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN 2 * c > n THEN (1::BIGINT << b) ELSE 0 END)
+                       AS BIGINT) AS simhash
+                   FROM bits GROUP BY doc_id),
+          sig AS (SELECT d.doc_id AS id, coalesce(s.simhash, 0) AS simhash
+                  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+          banded AS (SELECT id, simhash, b AS band,
+                            (simhash >> (b * 15)) & 32767 AS bk
+                     FROM sig, range(4) r(b)),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                          a.simhash AS ha, b.simhash AS hb
+                   FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk
+                   WHERE a.id < b.id)
+          SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(ha, hb)) <= 12""",
+
+    "q23_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+          el AS (SELECT id, unnest(qv) AS x, generate_subscripts(qv, 1) - 1 AS i FROM v),
+          signs AS (SELECT t, p, i,
+                 CASE WHEN substr(md5(concat(1000 + t, ':', p, ':', i)), 1, 1)
+                      IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS sgn
+                 FROM range(2) tt(t), range(8) pp(p), range(64) ii(i)),
+          proj AS (SELECT e.id, s.t, s.p, sum(e.x * s.sgn) AS proj
+                   FROM el e JOIN signs s ON s.i = e.i GROUP BY e.id, s.t, s.p),
+          bkt AS (SELECT id, t,
+                    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bkt
+                  FROM proj GROUP BY id, t),
+          cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+                   FROM bkt q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt
+                   WHERE q.id < 20 AND c.id <> q.id),
+          scored AS (SELECT cand.query_id, cand.neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                   p -> p[1] * p[2])) AS BIGINT) AS dot_q
+                 FROM cand JOIN v a ON a.id = cand.query_id
+                           JOIN v b ON b.id = cand.neighbor_id)
+          SELECT query_id, neighbor_id, dot_q,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot_q DESC, neighbor_id) <= 3""",
+
+    "q24_cosine_neardup" ->
+      s"""WITH v AS (SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+          el AS (SELECT id, unnest(qv) AS x, generate_subscripts(qv, 1) - 1 AS i FROM v),
+          signs AS (SELECT t, p, i,
+                 CASE WHEN substr(md5(concat(2000 + t, ':', p, ':', i)), 1, 1)
+                      IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS sgn
+                 FROM range(4) tt(t), range(4) pp(p), range(64) ii(i)),
+          proj AS (SELECT e.id, s.t, s.p, sum(e.x * s.sgn) AS proj
+                   FROM el e JOIN signs s ON s.i = e.i GROUP BY e.id, s.t, s.p),
+          bkt AS (SELECT id, t,
+                    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bkt
+                  FROM proj GROUP BY id, t),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM bkt a JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt
+                   WHERE a.id < b.id),
+          n AS (SELECT id, qv,
+                  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM v),
+          scored AS (SELECT id_a, id_b,
+                 CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                   p -> p[1] * p[2])) AS BIGINT) AS dot,
+                 a.n2 AS na, b.n2 AS nb
+                 FROM cand JOIN n a ON a.id = id_a JOIN n b ON b.id = id_b)
+          SELECT id_a, id_b,
+                 CAST(floor(dot * 10000 / CAST(ceil(sqrt(CAST(na AS DOUBLE)
+                   * CAST(nb AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cos_bp
+          FROM scored
+          WHERE floor(dot * 10000 / CAST(ceil(sqrt(CAST(na AS DOUBLE)
+                   * CAST(nb AS DOUBLE))) AS BIGINT)) >= 4500""",
 
     "q20_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),

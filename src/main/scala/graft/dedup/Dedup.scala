@@ -129,26 +129,36 @@ object Dedup {
       .select("id_a", "id_b", "jacc_bp")
   }
 
+  /** SimHash signature width: 60 bits — the first 15 hex chars of md5(token) parsed as
+    * an integer, which both Spark (conv) and any md5-capable SQL engine (hex cast) can
+    * compute identically; 4 bands × 15 bits. */
+  val SimhashBits = 60
+  private val SimhashBands = 4
+  private val SimhashBandBits = SimhashBits / SimhashBands
+
   /**
-   * 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the majority
-   * vote of bit b of xxhash64(token) across tokens (with multiplicity).
+   * 60-bit SimHash over whitespace tokens: bit b of the fingerprint is the majority
+   * vote of bit b of the md5-derived token hash across tokens (with multiplicity).
+   * The token hash is engine-portable (md5 prefix), so the whole operator has an exact
+   * DuckDB oracle twin.
    *
-   * Shape: explode tokens → hash once per token → one groupBy with 64 codegen'd
-   * bit-count sums (map-side partials; the shuffle carries docs × 65 longs) → fold the
+   * Shape: explode tokens → hash once per token → one groupBy with 60 codegen'd
+   * bit-count sums (map-side partials; the shuffle carries docs × 61 longs) → fold the
    * majority votes into the signature. Replaces an aggregate/zip_with higher-order
-   * formulation that evaluated interpreted at O(tokens × 64) per row (~10× slower).
+   * formulation that evaluated interpreted at O(tokens × bits) per row (~10× slower).
    * Docs with zero tokens keep signature 0 (left join back).
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(filter(split(lower(trim(col(textCol))), "\\s+"),
           t => length(t) > 0)).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until SimhashBits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"c$b"))
     val agg = toks.groupBy("id")
       .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sig = (0 until 64).map(b =>
+    val sig = (0 until SimhashBits).map(b =>
       when(col(s"c$b") * 2L > col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _) // disjoint bits: + == bitwise OR
     val sigs = agg.select(col("id"), sig.as("simhash0"))
@@ -156,14 +166,16 @@ object Dedup {
       .select(col("id"), coalesce(col("simhash0"), lit(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: split the 64-bit fingerprint into 4 16-bit bands;
+  /** SimHash near-dup candidates: split the 60-bit fingerprint into 4 15-bit bands;
     * pairs sharing any band are candidates; verify by Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
     val sigs = simhash(df, idCol, textCol)
+    val bandMask = (1L << SimhashBandBits) - 1L
     val banded = sigs.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL)))
+      posexplode(transform(sequence(lit(0), lit(SimhashBands - 1)),
+        b => call_function("shiftright", col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(bandMask)))
         .as(Seq("band", "bk")))
     val l = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("simhash").as("h_a"))
     val r = banded.select(col("band"), col("bk"), col("id").as("id_b"), col("simhash").as("h_b"))

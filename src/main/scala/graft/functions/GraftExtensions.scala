@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QdotI64].getName, "qdot_i64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         QdotI64.create(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBucketExpr.create(exprs)))
   }
 }

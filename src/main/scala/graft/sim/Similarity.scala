@@ -58,14 +58,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * ±1 from the low bit of xxhash64(seed, p, d). */
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d): ±1 from
+    * the low bit of the first hex char of md5("{seed}:{p}:{d}") — engine-portable
+    * (the DuckDB oracle replays the identical signs). */
   private def planeSign(p: Int, d: Column, seed: Int): Column =
-    when(xxhash64(lit(seed), lit(p), d).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
+    when(substring(md5(concat_ws(":", lit(seed), lit(p), d.cast("string"))), 1, 1)
+      .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1L)).otherwise(lit(-1L))
 
   /** LSH bucket signature: `planes` sign bits of the quantized vector against
-    * deterministic ±1 hyperplanes, packed into a long. */
+    * deterministic ±1 hyperplanes, packed into a long. Native single-pass kernel
+    * (graft.functions.LshBucketExpr, codegen'd, sign table cached per JVM). */
   def lshBucket(qv: Column, planes: Int, seed: Int = 42): Column =
+    call_function("lsh_bucket", qv, lit(planes), lit(seed))
+
+  /** Pure-builtin formulation of [[lshBucket]] (no session extensions); bit-identical —
+    * cross-checked in SimilaritySpec. Interpreted per element; the native kernel is the
+    * hot path. */
+  def lshBucketHof(qv: Column, planes: Int, seed: Int = 42): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(qv, sequence(lit(0), size(qv) - 1), (x, d) => x * planeSign(p, d, seed)),

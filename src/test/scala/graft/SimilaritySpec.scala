@@ -53,6 +53,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("lsh_bucket native kernel == HOF md5-sign formulation") {
+    val q = vecs.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
+    for ((planes, seed) <- Seq((8, 1000), (4, 2003), (6, 42))) {
+      val native = q.select(col("id"), Similarity.lshBucket(col("qv"), planes, seed))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val hof = q.select(col("id"), Similarity.lshBucketHof(col("qv"), planes, seed))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(native === hof, s"planes=$planes seed=$seed")
+      assert(native.values.toSet.size > 1, "degenerate bucketing")
+    }
+  }
+
   test("lshTopK recall vs brute force is substantial on clustered data") {
     import spark.implicits._
     // clustered vectors → LSH buckets keep near neighbors together

@@ -235,6 +235,13 @@ object SparkEntry {
           graft.nlp.GazEntry(w, "entity", "kw")))
     }),
 
+    // ---- pair-model statistics: per-(context, target) tp/fp/precision ----
+    "q30_pair_stats" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      DocExtract.pairStats(t(s, d, "documents"), "doc_id", "text", "merge",
+        Seq("spark", "join", "window", "filter", "table"))
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -584,6 +591,35 @@ object SparkEntry {
                   AND lower(s.tok) IN ('spark','join','window','filter'))
           SELECT doc_id, subj, 'merge_rel' AS pred, obj, count(*) AS n_hits
           FROM m GROUP BY doc_id, subj, pred, obj""",
+
+    "q30_pair_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          pos AS (SELECT doc_id, unnest(tk) AS tok,
+                         generate_subscripts(tk, 1) AS i FROM toks),
+          hits AS (SELECT a.doc_id, b.tok
+                   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   WHERE a.tok = 'merge'),
+          lab AS (SELECT doc_id, tok,
+                    tok IN ('spark','join','window','filter','table') AS is_kw
+                  FROM hits),
+          per AS (SELECT profile_id, target_id, doc_id,
+                    least(sum(CASE WHEN gold THEN 1 ELSE 0 END), 50) AS tp,
+                    least(sum(CASE WHEN NOT gold THEN 1 ELSE 0 END), 50) AS fp
+                  FROM (
+                    SELECT 1 AS profile_id, 11 AS target_id, doc_id, TRUE AS gold
+                    FROM lab WHERE is_kw
+                    UNION ALL
+                    SELECT 1, 12, doc_id, is_kw FROM lab)
+                  GROUP BY 1, 2, 3),
+          agg AS (SELECT profile_id, target_id, sum(tp) AS tp, sum(fp) AS fp
+                  FROM per GROUP BY 1, 2)
+          SELECT CAST(profile_id AS BIGINT) AS profile_id,
+                 CAST(target_id AS BIGINT) AS target_id,
+                 CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                 CAST(tp + fp AS BIGINT) AS total,
+                 CAST(floor(CASE WHEN tp + fp > 1 THEN tp * 10000.0 / (tp + fp - 1)
+                                 ELSE tp * 10000.0 END) AS BIGINT) AS prec_bp
+          FROM agg""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

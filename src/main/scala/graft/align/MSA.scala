@@ -21,9 +21,14 @@ object MSA {
    * Render the pattern token sequence from an alignment: anchors in order; a single
    * `:gap` filler wherever consecutive anchors skip ≥1 column on either side.
    * Returns None when gates fail or the target slot is not anchored.
+   *
+   * @param requireTarget context patterns must anchor the `:target` slot; TARGET
+   *        profiles (profileType 1 — alignments of the target spans themselves,
+   *        ref src/msa/GenMSADriver.java:763) have no target slot and pass false.
    */
-  def toPattern(al: SmithWaterman.Alignment, gates: Gates = Gates()): Option[Vector[String]] = {
-    if (!al.coversTarget) return None
+  def toPattern(al: SmithWaterman.Alignment, gates: Gates = Gates(),
+      requireTarget: Boolean = true): Option[Vector[String]] = {
+    if (requireTarget && !al.coversTarget) return None
     if (al.anchors.length < gates.minAnchors) return None
     if (al.gapCount > gates.maxGaps) return None
     val out = Vector.newBuilder[String]

@@ -100,6 +100,56 @@ object DocExtract {
     hits.groupBy("doc_id", "subj", "pred", "obj").agg(count(lit(1)).as("n_hits"))
   }
 
+  /**
+   * (context × target) pair statistics over a documents table — the oracle-checkable
+   * entry point for the pair model (the reference's `final` table,
+   * /root/reference/sql/ie-mysql.sql:24-33, written src/msa/BestPatterns.java:515-609):
+   * one seeded context pattern (trigger + `:target`) crossed with two seeded target
+   * profiles — a gazetteer-keyword target (`:lookup|majortype|kw`) and a generic word
+   * target (`:token|kind|word`). Gold spans are derived deterministically (the token
+   * after the trigger when it is a gazetteer keyword), so per-pair tp/fp/precision is
+   * exactly replayable in SQL. Returns (profile_id, target_id, tp, fp, total, prec_bp)
+   * with the reference's per-doc cap 50 and tp/(total−1) correction.
+   */
+  def pairStats(docs: DataFrame, idCol: String, textCol: String, trigger: String,
+      kws: Seq[String])(implicit spark: SparkSession): DataFrame = {
+    import graft.learn.PatternStats
+    import spark.implicits._
+    val pred = s"after_$trigger"
+    val ctx = Pattern(1L, Seq(s":token|string|${trigger.toLowerCase}", Grid.Target),
+      pred, 0, "seed", 1.0, 0, 0, 0)
+    val tKw = Pattern(11L, Seq(":lookup|majortype|kw"), pred, 1, "seed", 1.0, 0, 0, 0)
+    val tWord = Pattern(12L, Seq(":token|kind|word"), pred, 1, "seed", 1.0, 0, 0, 0)
+    val gazB = spark.sparkContext.broadcast(
+      Gazetteer.build(kws.map(w => GazEntry(w, "kw", "kw"))))
+    val sents = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val g = gazB.value
+        it.flatMap { case (id, text) =>
+          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            graft.mention.Sentences.group(s"synth://doc/$id", annots)
+          }
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triggerLabel = s":token|string|${trigger.toLowerCase}"
+    val gold = sents.flatMap { s =>
+      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+      grid.cols.sliding(2).collect {
+        case Seq(a, b) if a.has(triggerLabel) && b.has(":lookup|majortype|kw") =>
+          (s.url, pred, b.begin, b.end)
+      }
+    }.toDF("url", "annotType", "begin", "end")
+    val cfg = PatternStats.Config(evalTolerance = 0)
+    val matches = PatternStats.applyPatternsPaired(sents, Seq(ctx), Seq(tKw, tWord), cfg)
+    PatternStats.scorePairs(matches, gold, spark.createDataset(Seq(ctx, tKw, tWord)), cfg)
+      .select(col("profileId").as("profile_id"), col("targetId").as("target_id"),
+        col("tp"), col("fp"), col("total"),
+        floor(when(col("total") > 1, col("tp") * 10000.0 / (col("total") - 1))
+          .otherwise(col("tp") * 10000.0)).cast("long").as("prec_bp"))
+  }
+
   /** A hand-seeded single-anchor pattern: ":token|string|<trigger>" followed by a
     * one-token `:target` (minimal-span rule ⇒ exactly the next token). */
   def triggerPattern(trigger: String): Pattern =

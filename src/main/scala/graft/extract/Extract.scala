@@ -80,7 +80,7 @@ object Extract {
       it.flatMap { s =>
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
-        else PatternMatcher.matchAll(grid, index).iterator
+        else PatternMatcher.matchAll(grid, index, prm).iterator
           .filter(_.subjBegin >= 0)
           .map { h =>
             Triple(h.subjValue, h.pattern.annotType,
@@ -90,6 +90,79 @@ object Extract {
       }
     }
   }
+
+  /**
+   * Pair-model extraction (the reference's AutoAnnotate with ProfileReader.readFinal
+   * per-pair gates): context patterns enumerate candidate spans, target profiles decide
+   * the extent, and only (context, target) pairs in `allowedPairs` (pair → precision)
+   * extract. Mention score = the PAIR's gated precision — per-pair quality, the
+   * reference's main quality lever.
+   */
+  def mentionsPaired(sentences: Dataset[SentenceAnnots], contextPatterns: Seq[Pattern],
+      targetPatterns: Seq[Pattern], allowedPairs: Map[(Long, Long), Double],
+      prm: PatternMatcher.Params = PatternMatcher.Params())(
+      implicit spark: SparkSession): Dataset[Mention] = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(contextPatterns))
+    val tgtB = spark.sparkContext.broadcast(compileTargets(targetPatterns))
+    val pairsB = spark.sparkContext.broadcast(allowedPairs)
+    sentences.mapPartitions { it =>
+      val index = idxB.value
+      val targets = tgtB.value
+      val pairs = pairsB.value
+      it.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
+        else PatternMatcher.matchPairs(grid, index, targets, prm,
+          allowedPairs = Some(pairs.keySet)).iterator
+          .filter(_.subjBegin < 0)
+          .map { h =>
+            val prec = pairs((h.context.profileId, h.target.profileId))
+            Mention(s.url, h.context.annotType, h.targetBegin, h.targetEnd,
+              PatternMatcher.trimTrailingPunct(h.value), h.context.profileId, prec)
+          }
+      }
+    }
+  }
+
+  /** Pair-model two-slot relation extraction (see [[mentionsPaired]] /
+    * [[relationTriples]]). */
+  def relationTriplesPaired(sentences: Dataset[SentenceAnnots],
+      relPatterns: Seq[Pattern], targetPatterns: Seq[Pattern],
+      allowedPairs: Map[(Long, Long), Double],
+      prm: PatternMatcher.Params = PatternMatcher.Params())(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(relPatterns))
+    val tgtB = spark.sparkContext.broadcast(compileTargets(targetPatterns))
+    val pairsB = spark.sparkContext.broadcast(allowedPairs)
+    sentences.mapPartitions { it =>
+      val index = idxB.value
+      val targets = tgtB.value
+      val pairs = pairsB.value
+      it.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
+        else PatternMatcher.matchPairs(grid, index, targets, prm,
+          allowedPairs = Some(pairs.keySet)).iterator
+          .filter(_.subjBegin >= 0)
+          .map { h =>
+            val prec = pairs((h.context.profileId, h.target.profileId))
+            Triple(h.subjValue, h.context.annotType,
+              PatternMatcher.trimTrailingPunct(h.value),
+              s.url, h.targetBegin, h.targetEnd, h.context.profileId, prec)
+          }
+      }
+    }
+  }
+
+  /** Compiled target profiles grouped by annotType, longest-first. */
+  private def compileTargets(
+      targetPatterns: Seq[Pattern]): Map[String, IndexedSeq[PatternMatcher.Compiled]] =
+    targetPatterns.groupBy(_.annotType).map { case (t, ps) =>
+      t -> ps.sortBy(p => (-p.toks.size, p.toks.mkString("")))
+        .map(PatternMatcher.compile).toIndexedSeq
+    }
 
   /**
    * Upgrade a learned single-slot pattern to a two-slot relation pattern: the first

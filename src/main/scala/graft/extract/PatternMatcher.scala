@@ -80,8 +80,14 @@ object PatternMatcher {
   def matchOne(grid: Grid, c: Compiled, prm: Params = Params()): Vector[(Int, Int)] =
     matchOneFull(grid, c, prm).map(s => (s.tb, s.te))
 
-  /** Full matches incl. the subject span of two-slot relation patterns. */
-  def matchOneFull(grid: Grid, c: Compiled, prm: Params = Params()): Vector[Span] = {
+  /** Full matches incl. the subject span of two-slot relation patterns.
+    * @param minimalTarget apply the minimal-target/maximal-subject collapse (single-
+    *        pattern mode). Pair matching passes false: the target EXTENT is decided by
+    *        which target profile matches the candidate span, the reference's semantics
+    *        (/root/reference/src/msa/MSAUtils.java:443-491), so every candidate length
+    *        must be enumerated. */
+  def matchOneFull(grid: Grid, c: Compiled, prm: Params = Params(),
+      minimalTarget: Boolean = true): Vector[Span] = {
     val cols = grid.cols
     val n = cols.size
     if (n > prm.maxGridLen) return Vector.empty // ref maxGridLen cap, ProfileMatcher.java:32,121
@@ -152,16 +158,104 @@ object PatternMatcher {
       }
     }
     place(0, 0, mustBeAdjacent = false, -1, -1, -1, -1)
-    // Minimal-target / maximal-subject rule: among spans sharing a target start, keep
-    // the shortest valid target (a right-context anchor already forces the exact span;
-    // with no right anchor the unbounded tail would otherwise enumerate 1..maxTargetLen
-    // FP spans per site — the reference ties target extent to a separate target pattern
-    // instead, src/msa/MSAUtils.java:443-491; minimal-span is our deterministic
-    // equivalent) and the LONGEST subject (the full entity mention: subject columns are
-    // all Lookup-labelled, so the maximal run is the whole gazetteer span).
-    results.toVector.groupBy(_.tb).valuesIterator
-      .map(_.minBy(s => (s.te, -(s.se - s.sb), s.sb)))
-      .toVector.sortBy(s => (s.tb, s.te, s.sb, s.se))
+    if (!minimalTarget)
+      results.toVector.sortBy(s => (s.tb, s.te, s.sb, s.se))
+    else
+      // Minimal-target / maximal-subject rule: among spans sharing a target start, keep
+      // the shortest valid target (a right-context anchor already forces the exact span;
+      // with no right anchor the unbounded tail would otherwise enumerate 1..maxTargetLen
+      // FP spans per site — the reference ties target extent to a separate target pattern
+      // instead, src/msa/MSAUtils.java:443-491; minimal-span is our deterministic
+      // equivalent, pair matching the faithful one) and the LONGEST subject (the full
+      // entity mention: subject columns are all Lookup-labelled, so the maximal run is
+      // the whole gazetteer span).
+      results.toVector.groupBy(_.tb).valuesIterator
+        .map(_.minBy(s => (s.te, -(s.se - s.sb), s.sb)))
+        .toVector.sortBy(s => (s.tb, s.te, s.sb, s.se))
+  }
+
+  /**
+   * Does a TARGET pattern (profileType 1 — literal labels, optional `:gap`s, no slots)
+   * match the grid columns [from, until) EXACTLY (full coverage, in order)? The pair
+   * model's per-span check: a context-pattern candidate span is only extracted when
+   * some target profile matches its content — the reference's matchGrids-within-
+   * candidate-span (/root/reference/src/msa/ProfileMatcher.java:459-631).
+   */
+  def targetMatches(grid: Grid, from: Int, until: Int, tc: Compiled,
+      prm: Params = Params()): Boolean = {
+    val cols = grid.cols
+    def step(k: Int, ci: Int): Boolean = {
+      if (k == tc.elems.length) ci == until
+      else tc.elems(k) match {
+        case Grid.Gap =>
+          var skip = 1
+          var ok = false
+          while (!ok && skip <= prm.maxGapSpan && ci + skip <= until) {
+            ok = step(k + 1, ci + skip); skip += 1
+          }
+          ok
+        case l =>
+          ci < until && cols(ci).has(l) && step(k + 1, ci + 1)
+      }
+    }
+    from < until && step(0, from)
+  }
+
+  /** One (context-pattern, target-pattern) pair match. */
+  final case class PairHit(context: Pattern, target: Pattern,
+      targetBegin: Int, targetEnd: Int, value: String,
+      subjBegin: Int = -1, subjEnd: Int = -1, subjValue: String = "")
+
+  /**
+   * Pair matching — the faithful reference semantics: context patterns enumerate
+   * candidate target spans (ALL lengths, no minimal collapse); a span is accepted only
+   * when a target profile of the same annotType matches it exactly; the unit of match
+   * (and of all downstream statistics) is the (profileId, targetId) PAIR
+   * (ref index/final tables, /root/reference/sql/ie-mysql.sql:24-43;
+   * per-pair gates ProfileReader.java:257-279).
+   *
+   * @param allowedPairs extraction-time per-pair gate (the `final` table read); None =
+   *        all pairs (stats-collection mode).
+   * @param suppressOverlaps drop hits whose target span overlaps an accepted one
+   *        (longest-context-first priority) — extraction mode; stats mode passes false.
+   */
+  def matchPairs(grid: Grid, ctxIndex: Index, targetsByType: Map[String, IndexedSeq[Compiled]],
+      prm: Params = Params(), allowedPairs: Option[Set[(Long, Long)]] = None,
+      suppressOverlaps: Boolean = true): Vector[PairHit] = {
+    val cands = ctxIndex.candidates(grid.labelSet)
+    val cols = grid.cols
+    val accepted = mutable.ArrayBuffer.empty[PairHit]
+    val seen = mutable.HashSet.empty[(Long, Long, Int, Int)]
+    cands.foreach { c =>
+      val targets = targetsByType.getOrElse(c.pattern.annotType, IndexedSeq.empty)
+      if (targets.nonEmpty) {
+        matchOneFull(grid, c, prm, minimalTarget = false)
+          .sortBy(s => (s.tb, s.te - s.tb))
+          .foreach { s =>
+            // column range of the candidate target span; zero-width sentinel columns
+            // (:start/:end share a char offset with adjacent tokens) must not count
+            val from = cols.indexWhere(c => c.begin == s.tb && c.end > c.begin)
+            val until = cols.lastIndexWhere(c => c.end == s.te && c.end > c.begin) + 1
+            if (from >= 0 && until > from) targets.foreach { tc =>
+              val pairKey = (c.pattern.profileId, tc.pattern.profileId)
+              val allowed = allowedPairs.forall(_.contains(pairKey))
+              if (allowed && targetMatches(grid, from, until, tc, prm)) {
+                val overlaps = suppressOverlaps &&
+                  accepted.exists(h => h.targetBegin < s.te && h.targetEnd > s.tb)
+                val key = (pairKey._1, pairKey._2, s.tb, s.te)
+                if (!overlaps && !seen.contains(key)) {
+                  seen += key
+                  val value = coveredText(grid, s.tb, s.te)
+                  val subjValue = if (s.sb >= 0) coveredText(grid, s.sb, s.se) else ""
+                  accepted += PairHit(c.pattern, tc.pattern, s.tb, s.te, value,
+                    s.sb, s.se, subjValue)
+                }
+              }
+            }
+          }
+      }
+    }
+    accepted.toVector
   }
 
   /**

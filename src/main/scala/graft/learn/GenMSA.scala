@@ -32,6 +32,9 @@ object GenMSA {
       trimSize: Int = 10,
       minRows: Int = 2,
       gates: MSA.Gates = MSA.Gates(),
+      // target profiles are short (often one anchor like ":number"), so their gates
+      // are looser than the context gates
+      targetGates: MSA.Gates = MSA.Gates(maxGaps = 1, minAnchors = 1),
       swParams: SmithWaterman.Params = SmithWaterman.Params())
 
   /** One target-centred training grid, keyed for blocking. */
@@ -66,25 +69,25 @@ object GenMSA {
         val sents = it.map(_._2).toVector.sortBy(s => (s.url, s.sentBegin))
         alignBlock(key._1, sents, goldProvenance, cfg).iterator
       }
-      .toDF("annotType", "toks")
+      .toDF("annotType", "toks", "profileType")
 
     // multiplicity + minRows gate + derived profile ids. The id is a content hash of
     // the canonical (annotType, toks) key: deterministic across runs AND parallelism
     // levels, and unlike a dense_rank over an unpartitioned window it never funnels
     // every learned pattern through a single-partition global sort.
     val counted = rawPatterns
-      .groupBy($"annotType", $"toks")
+      .groupBy($"annotType", $"toks", $"profileType")
       .agg(count(lit(1)).as("rows"))
       .filter($"rows" >= cfg.minRows)
       .withColumn("profileId",
-        xxhash64(concat_ws("\u0001", $"annotType", concat_ws("\u0001", $"toks"))))
+        xxhash64(concat_ws("\u0001", $"annotType", $"profileType",
+          concat_ws("\u0001", $"toks"))))
 
     counted.select(
       $"profileId",
       $"toks",
       $"annotType",
-      when(array_contains($"toks", Grid.Target) &&
-           size($"toks") === lit(1), lit(1)).otherwise(lit(0)).as("profileType"),
+      $"profileType",
       lit("msa").as("group"),
       lit(0.0).as("score"),
       lit(0L).as("truePos"),
@@ -93,29 +96,52 @@ object GenMSA {
     ).as[Pattern]
   }
 
-  /** All-pairs alignment within one block (pure; unit-testable). */
+  /**
+   * All-pairs alignment within one block (pure; unit-testable). Produces BOTH pattern
+   * kinds of the reference's pair model (ref src/msa/GenMSADriver.java:763,772):
+   *  - context profiles (profileType 0): target-centred trimmed grids aligned all-pairs,
+   *    pattern must anchor the `:target` slot;
+   *  - target profiles (profileType 1): the gold target spans THEMSELVES as mini-grids
+   *    aligned all-pairs — the generalized token-sequence shape of the target (e.g.
+   *    [":number"] for year targets), later paired with context profiles at match time.
+   */
   def alignBlock(annotType: String, sents: Vector[SentenceAnnots],
-      goldProvenance: String, cfg: Config): Vector[(String, Seq[String])] = {
-    val grids = sents.flatMap { s =>
-      val targets = s.annots
+      goldProvenance: String, cfg: Config): Vector[(String, Seq[String], Int)] = {
+    val goldSpans = sents.map { s =>
+      s -> s.annots
         .filter(a => a.provenance == goldProvenance && a.annotType == annotType)
         .map(a => (a.begin, a.end))
+    }
+    val ctxGrids = goldSpans.flatMap { case (s, targets) =>
       val g = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots, targets)
       Grid.trimAroundTarget(g, cfg.trimSize)
     }
-    val out = Vector.newBuilder[(String, Seq[String])]
-    var i = 0
-    while (i < grids.length) {
-      var j = i + 1
-      while (j < grids.length) {
-        val al = SmithWaterman.align(grids(i), grids(j), cfg.swParams)
-        MSA.toPattern(al, cfg.gates).foreach { toks =>
-          out += ((annotType, toks))
-        }
-        j += 1
+    // target mini-grids: only the columns inside each gold span, no sentinels
+    val tgtGrids = goldSpans.flatMap { case (s, targets) =>
+      val g = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+      targets.flatMap { case (b, e) =>
+        val cols = g.cols.filter(c => c.begin >= b && c.end <= e && c.end > c.begin)
+        if (cols.nonEmpty) Some(Grid(s.url, b, e, cols)) else None
       }
-      i += 1
     }
+    val out = Vector.newBuilder[(String, Seq[String], Int)]
+    def allPairs(grids: Vector[Grid], gates: MSA.Gates, requireTarget: Boolean,
+        pType: Int): Unit = {
+      var i = 0
+      while (i < grids.length) {
+        var j = i + 1
+        while (j < grids.length) {
+          val al = SmithWaterman.align(grids(i), grids(j), cfg.swParams)
+          MSA.toPattern(al, gates, requireTarget).foreach { toks =>
+            out += ((annotType, toks, pType))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    allPairs(ctxGrids, cfg.gates, requireTarget = true, pType = 0)
+    allPairs(tgtGrids, cfg.targetGates, requireTarget = false, pType = 1)
     out.result()
   }
 }

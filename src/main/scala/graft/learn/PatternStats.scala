@@ -29,6 +29,9 @@ object PatternStats {
       posThreshold: Double = 0.9,
       minCount: Long = 2,
       evalTolerance: Int = 1,
+      // A3: a context profile stays active only if SOME target combo reaches this
+      // precision (ref BestPatterns.java:561-565,612-620)
+      activeThreshold: Double = 0.8,
       matcher: PatternMatcher.Params = PatternMatcher.Params())
 
   /** Apply a pattern set to sentences → match occurrences (the `index` table analog). */
@@ -53,6 +56,98 @@ object PatternStats {
   }
 
   /**
+   * Pair-model match collection — the faithful reference semantics: context profiles
+   * (profileType 0) enumerate candidate spans, target profiles (profileType 1) decide
+   * the extent, and every emitted row is a (profileId, targetId) PAIR occurrence (the
+   * reference's `index` table, /root/reference/sql/ie-mysql.sql:37-43).
+   */
+  def applyPatternsPaired(sentences: Dataset[SentenceAnnots],
+      contextPatterns: Seq[Pattern], targetPatterns: Seq[Pattern],
+      cfg: Config = Config())(implicit spark: SparkSession): Dataset[PatternMatch] = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(contextPatterns))
+    val tgtB = spark.sparkContext.broadcast(
+      targetPatterns.groupBy(_.annotType).map { case (t, ps) =>
+        t -> ps.sortBy(p => (-p.toks.size, p.toks.mkString("")))
+          .map(PatternMatcher.compile).toIndexedSeq
+      })
+    sentences.mapPartitions { it =>
+      val index = idxB.value
+      val targets = tgtB.value
+      it.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
+        // stats count RAW pair matches (no overlap suppression): the reference computes
+        // precision before overlap filtering
+        else PatternMatcher.matchPairs(grid, index, targets, cfg.matcher,
+          allowedPairs = None, suppressOverlaps = false).iterator.map { h =>
+          PatternMatch(h.context.profileId, h.target.profileId, s.url,
+            h.targetBegin, h.targetEnd, PatternMatcher.trimTrailingPunct(h.value))
+        }
+      }
+    }
+  }
+
+  /**
+   * Per-(context, target) pair statistics — the reference's `final` table
+   * (/root/reference/sql/ie-mysql.sql:24-33, written BestPatterns.java:515-609):
+   * ±tolerance gold join, per-doc cap 50, tp/(tp+fp−1) precision, keyed by the PAIR.
+   * Returns (profileId, targetId, tp, fp, total, prec).
+   */
+  def scorePairs(matches: Dataset[PatternMatch], gold: DataFrame,
+      patterns: Dataset[Pattern], cfg: Config = Config())(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val judged = judgeMatches(matches, gold, patterns, cfg)
+      .groupBy($"profileId", $"targetId", $"url", $"begin", $"end")
+      .agg(max(when($"g_url".isNotNull, 1).otherwise(0)).as("isTp"))
+    val perDoc = judged.groupBy($"profileId", $"targetId", $"url")
+      .agg(least(sum($"isTp"), lit(50L)).as("tp"),
+           least(sum(lit(1) - $"isTp"), lit(50L)).as("fp"))
+    perDoc.groupBy($"profileId", $"targetId")
+      .agg(sum($"tp").as("tp"), sum($"fp").as("fp"))
+      .withColumn("total", $"tp" + $"fp")
+      .withColumn("prec",
+        when($"tp" + $"fp" > 1, $"tp".cast("double") / ($"tp" + $"fp" - 1))
+          .otherwise($"tp".cast("double")))
+  }
+
+  /** Pairs passing the promotion gate (ref ProfileReader.readFinal per-pair gates,
+    * /root/reference/src/msa/ProfileReader.java:257-279). */
+  def keptPairs(pairStats: DataFrame, cfg: Config = Config()): DataFrame =
+    pairStats.filter(col("prec") >= cfg.posThreshold && col("total") >= cfg.minCount)
+
+  /** A3 profile-active check: context profiles where some target combo reaches
+    * activeThreshold precision (ref BestPatterns.java:561-565,612-620). */
+  def activeProfiles(pairStats: DataFrame, cfg: Config = Config()): DataFrame =
+    pairStats.groupBy(col("profileId"))
+      .agg(max(col("prec")).as("bestPrec"))
+      .filter(col("bestPrec") >= cfg.activeThreshold)
+      .select(col("profileId"))
+
+  /** Shared ±tolerance gold join: exploded {−tol..+tol}² boundary variants equi-joined
+    * to gold on (url, span, annotType). */
+  private def judgeMatches(matches: Dataset[PatternMatch], gold: DataFrame,
+      patterns: Dataset[Pattern], cfg: Config)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tol = (-cfg.evalTolerance to cfg.evalTolerance).toSeq
+    val variants = tol.flatMap(db => tol.map(de => (db, de)))
+    val exploded = matches.toDF()
+      .withColumn("v", explode(typedLit(variants.map(v => v._1 + ":" + v._2))))
+      .withColumn("gb", $"begin" + split($"v", ":")(0).cast("int"))
+      .withColumn("ge", $"end" + split($"v", ":")(1).cast("int"))
+    val goldKeys = gold.select($"url".as("g_url"), $"annotType".as("g_type"),
+      $"begin".as("g_begin"), $"end".as("g_end")).distinct()
+    val pTypes = patterns.toDF().select($"profileId".as("p_id"), $"annotType".as("p_type"))
+      .distinct()
+    exploded
+      .join(pTypes, $"profileId" === $"p_id", "left")
+      .join(goldKeys,
+        $"url" === $"g_url" && $"gb" === $"g_begin" && $"ge" === $"g_end" &&
+          $"p_type" === $"g_type", "left")
+  }
+
+  /**
    * Score matches against gold spans with ±tolerance boundary matching
    * (ref MSAUtils.matchAnswer, /root/reference/src/msa/MSAUtils.java:705-763: the
    * predicted key is probed at {-1,0,+1}² offsets). Implemented scale-first: the
@@ -62,23 +157,7 @@ object PatternStats {
   def score(matches: Dataset[PatternMatch], gold: DataFrame, patterns: Dataset[Pattern],
       cfg: Config = Config())(implicit spark: SparkSession): Dataset[Pattern] = {
     import spark.implicits._
-    val tol = (-cfg.evalTolerance to cfg.evalTolerance).toSeq
-    val variants = tol.flatMap(db => tol.map(de => (db, de)))
-    val exploded = matches.toDF()
-      .withColumn("v", explode(typedLit(variants.map(v => v._1 + ":" + v._2))))
-      .withColumn("gb", $"begin" + split($"v", ":")(0).cast("int"))
-      .withColumn("ge", $"end" + split($"v", ":")(1).cast("int"))
-
-    val goldKeys = gold.select($"url".as("g_url"), $"annotType".as("g_type"),
-      $"begin".as("g_begin"), $"end".as("g_end")).distinct()
-
-    val pTypes = patterns.select($"profileId".as("p_id"), $"annotType".as("p_type"))
-
-    val judged = exploded
-      .join(pTypes, $"profileId" === $"p_id", "left")
-      .join(goldKeys,
-        $"url" === $"g_url" && $"gb" === $"g_begin" && $"ge" === $"g_end" &&
-          $"p_type" === $"g_type", "left")
+    val judged = judgeMatches(matches, gold, patterns, cfg)
       .groupBy($"profileId", $"url", $"begin", $"end")
       .agg(max(when($"g_url".isNotNull, 1).otherwise(0)).as("isTp"))
 

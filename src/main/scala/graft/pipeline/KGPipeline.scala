@@ -60,31 +60,49 @@ object KGPipeline {
     val trainSents = Sentences.fromAnnotations(trainAnnots)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 3. learn patterns on the gold slice
+    // 3. learn patterns on the gold slice: context profiles (profileType 0) AND target
+    // profiles (profileType 1) — the reference's pair model
     val patterns = GenMSA.learn(trainSents, "gold", msaCfg)
     val learned = patterns.collect().toSeq // small by construction (post minRows gate)
+    val ctxPatterns = learned.filter(_.profileType == 0)
+    val tgtPatterns = learned.filter(_.profileType == 1)
 
-    // 4. precision-gate them against the gold slice
-    val matches = PatternStats.applyPatterns(trainSents, learned, statsCfg)
+    // 4. per-PAIR precision gates against the gold slice (ref `final` table +
+    // ProfileReader per-pair gates + A3 active check)
+    val matches = PatternStats.applyPatternsPaired(trainSents, ctxPatterns, tgtPatterns,
+      statsCfg)
     val gold = goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end")
-    val finalPatterns = PatternStats.score(matches, gold, patterns, statsCfg)
-      .collect().toSeq
+    val pairStats = PatternStats.scorePairs(matches, gold, patterns, statsCfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allowedPairs = PatternStats.keptPairs(pairStats, statsCfg)
+      .join(PatternStats.activeProfiles(pairStats, statsCfg), Seq("profileId"), "left_semi")
+      .select($"profileId", $"targetId", $"prec")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairStats.unpersist()
+    val keptCtxIds = allowedPairs.keySet.map(_._1)
+    val finalPatterns = ctxPatterns.filter(p => keptCtxIds.contains(p.profileId)).map { p =>
+      val pairPrecs = allowedPairs.collect { case ((c, _), prec) if c == p.profileId => prec }
+      p.copy(score = pairPrecs.max)
+    }
 
-    // 5. extract on ALL pages. Patterns whose learned context contains an entity
-    // literal before the target upgrade to two-slot relation patterns — their subject
-    // is bound by the match itself (exact Lookup extent); the rest go through mention
-    // extraction + sentence-local nearest-entity resolution. allSents feeds both the
-    // matcher and the subject resolution join; rawTriples feeds both the CC edge
-    // derivation and the final canonical output — persist both or every downstream
-    // action recomputes the whole extraction (observed 7× wall-clock without these).
+    // 5. extract on ALL pages via pair matching. Patterns whose learned context
+    // contains an entity literal before the target upgrade to two-slot relation
+    // patterns — their subject is bound by the match itself (exact Lookup extent); the
+    // rest go through mention extraction + sentence-local nearest-entity resolution.
+    // allSents feeds both the matcher and the subject resolution join; rawTriples feeds
+    // both the CC edge derivation and the final canonical output — persist both or
+    // every downstream action recomputes the whole extraction (observed 7× wall-clock
+    // without these).
     val allSents = Sentences.fromAnnotations(annots)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val upgraded = finalPatterns.map(p => p -> Extract.toRelationPattern(p))
     val relPatterns = upgraded.collect { case (_, Some(rel)) => rel }
     val plainPatterns = upgraded.collect { case (p, None) => p }
-    val relTriples = Extract.relationTriples(allSents, relPatterns, statsCfg.matcher)
+    val relTriples = Extract.relationTriplesPaired(allSents, relPatterns, tgtPatterns,
+      allowedPairs, statsCfg.matcher)
     val mentions = Extract.mergeAdjacent(
-      Extract.mentions(allSents, plainPatterns, statsCfg.matcher))
+      Extract.mentionsPaired(allSents, plainPatterns, tgtPatterns, allowedPairs,
+        statsCfg.matcher))
     val rawTriples = Extract.triples(allSents, mentions).unionByName(relTriples)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -132,20 +150,42 @@ object KGPipeline {
       Annotate.annotate(pages, gaz).toDF()
     }.as[Annotation]
 
-    val finalPatterns = cp.materialize("patterns", fingerprint) {
+    val learned = cp.materialize("patterns", fingerprint) {
+      val goldUrls = goldAnnots.select($"url").distinct()
+      val trainAnnots = annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
+        .unionByName(goldAnnots)
+      val trainSents = Sentences.fromAnnotations(trainAnnots)
+      GenMSA.learn(trainSents, "gold", msaCfg).toDF()
+    }.as[graft.model.Pattern].collect().toSeq
+    val ctxPatterns = learned.filter(_.profileType == 0)
+    val tgtPatterns = learned.filter(_.profileType == 1)
+
+    // per-pair gate table (the reference's `final` read, per-pair + A3 active check)
+    val allowedPairs = cp.materialize("pair_stats", fingerprint) {
       val goldUrls = goldAnnots.select($"url").distinct()
       val trainAnnots = annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
         .unionByName(goldAnnots)
       val trainSents = Sentences.fromAnnotations(trainAnnots)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val patterns = GenMSA.learn(trainSents, "gold", msaCfg)
-      val learned = patterns.collect().toSeq
-      val matches = PatternStats.applyPatterns(trainSents, learned, statsCfg)
+      val matches = PatternStats.applyPatternsPaired(trainSents, ctxPatterns,
+        tgtPatterns, statsCfg)
       val gold = goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end")
-      val out = PatternStats.score(matches, gold, patterns, statsCfg).toDF()
+      val pairStats = PatternStats.scorePairs(matches, gold,
+        spark.createDataset(learned), statsCfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = PatternStats.keptPairs(pairStats, statsCfg)
+        .join(PatternStats.activeProfiles(pairStats, statsCfg),
+          Seq("profileId"), "left_semi")
+        .select($"profileId", $"targetId", $"prec")
       trainSents.unpersist()
       out
-    }.as[graft.model.Pattern].collect().toSeq
+    }.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val keptCtxIds = allowedPairs.keySet.map(_._1)
+    val finalPatterns = ctxPatterns.filter(p => keptCtxIds.contains(p.profileId)).map { p =>
+      val pairPrecs = allowedPairs.collect { case ((c, _), prec) if c == p.profileId => prec }
+      p.copy(score = pairPrecs.max)
+    }
 
     val rawTriples = cp.materialize("raw_triples", fingerprint) {
       val allSents = Sentences.fromAnnotations(annots)
@@ -153,9 +193,11 @@ object KGPipeline {
       val upgraded = finalPatterns.map(p => p -> Extract.toRelationPattern(p))
       val relPatterns = upgraded.collect { case (_, Some(rel)) => rel }
       val plainPatterns = upgraded.collect { case (p, None) => p }
-      val relTriples = Extract.relationTriples(allSents, relPatterns, statsCfg.matcher)
+      val relTriples = Extract.relationTriplesPaired(allSents, relPatterns, tgtPatterns,
+        allowedPairs, statsCfg.matcher)
       val mentions = Extract.mergeAdjacent(
-        Extract.mentions(allSents, plainPatterns, statsCfg.matcher))
+        Extract.mentionsPaired(allSents, plainPatterns, tgtPatterns, allowedPairs,
+          statsCfg.matcher))
       Extract.triples(allSents, mentions).unionByName(relTriples).toDF()
     }.as[Triple]
 

@@ -63,6 +63,46 @@ class PatternMatcherSpec extends AnyFunSuite {
     assert(hits.head.pattern.profileId === 1)
   }
 
+  test("pair model: target profile decides the extent; per-pair gate filters") {
+    val g = gridOf("Acme was founded in 1997")
+    val ctx = pat(1, ":token|string|in", Grid.Target)
+    val tNum = Pattern(11, Vector(":number"), "T", 1, "g", 1.0, 0, 0, 1)
+    val tWord = Pattern(12, Vector(":token|kind|word"), "T", 1, "g", 1.0, 0, 0, 1)
+    val idx = PatternMatcher.buildIndex(Seq(ctx))
+    val targets = Map("T" -> IndexedSeq(tNum, tWord).map(PatternMatcher.compile))
+    // raw (stats) mode: only the numeric target matches "1997"
+    val raw = PatternMatcher.matchPairs(g, idx, targets, suppressOverlaps = false)
+    assert(raw.map(h => (h.context.profileId, h.target.profileId, h.value)) ===
+      Vector((1L, 11L, "1997")))
+    // per-pair extraction gate: disallowing (1,11) kills the only hit
+    val gated = PatternMatcher.matchPairs(g, idx, targets,
+      allowedPairs = Some(Set((1L, 12L))))
+    assert(gated.isEmpty)
+  }
+
+  test("pair model: multi-token target profile must cover the span exactly") {
+    val g = gridOf("located in New York City now")
+    val ctx = pat(1, ":token|string|in", Grid.Target)
+    val t2 = Pattern(21, Vector(":token|orth|upperinitial", ":token|orth|upperinitial"),
+      "T", 1, "g", 1.0, 0, 0, 1)
+    val idx = PatternMatcher.buildIndex(Seq(ctx))
+    val targets = Map("T" -> IndexedSeq(PatternMatcher.compile(t2)))
+    val raw = PatternMatcher.matchPairs(g, idx, targets, suppressOverlaps = false)
+    // exactly the two-token span "New York" — not 1- or 3-token candidates
+    assert(raw.map(_.value) === Vector("New York"))
+  }
+
+  test("pair model: span at the sentence edge is not polluted by sentinels") {
+    // target is the LAST token — the zero-width :end sentinel shares its char offset
+    val g = gridOf("founded in 1997")
+    val ctx = pat(1, ":token|string|in", Grid.Target)
+    val tNum = Pattern(11, Vector(":number"), "T", 1, "g", 1.0, 0, 0, 1)
+    val idx = PatternMatcher.buildIndex(Seq(ctx))
+    val targets = Map("T" -> IndexedSeq(PatternMatcher.compile(tNum)))
+    val raw = PatternMatcher.matchPairs(g, idx, targets, suppressOverlaps = false)
+    assert(raw.map(_.value) === Vector("1997"))
+  }
+
   test("trailing punct trim and all-caps guard") {
     assert(PatternMatcher.trimTrailingPunct("1997,") === "1997")
     assert(PatternMatcher.trimTrailingPunct("Acme Corp") === "Acme Corp")

@@ -85,7 +85,12 @@ object Bench {
       def num(k: String): Double =
         s""""$k":(-?[0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
           .getOrElse(sys.error(s"child c$cores gave no $k: $out"))
-      ScaleResult(num("sec"), num("triples").toLong, num("hash").toLong)
+      // the 64-bit output hash must NOT round-trip through Double (longs above 2^53
+      // lose precision and hash_equal could false-positive) — parse it as Long directly
+      def lng(k: String): Long =
+        s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(out).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"child c$cores gave no $k: $out"))
+      ScaleResult(num("sec"), lng("triples"), lng("hash"))
     }
     // Two alternating rounds per level, min-of: the sandbox host's throughput moves in
     // multi-minute phases (2-3× swings); a single N-then-4N sequence can sample the two

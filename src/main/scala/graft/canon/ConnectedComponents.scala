@@ -56,13 +56,26 @@ object ConnectedComponents {
   }
 
   /** @param edges DataFrame with string columns (src, dst); undirected.
+    * @param reliableDir when set, per-round lineage truncation goes through a
+    *        write-read cycle on this (shared/HDFS) path instead of localCheckpoint —
+    *        localCheckpoint blocks live on executors and are LOST on executor failure,
+    *        which on a real cluster would abort a 20-round CC mid-flight; the
+    *        write-read cycle survives executor loss and lets a rerun resume from the
+    *        last completed round's edge set.
     * @return DataFrame(node STRING, component STRING = min node of its component). */
-  def run(edges: DataFrame, maxIter: Int = 25)(implicit spark: SparkSession): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25, reliableDir: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    def truncate(df: DataFrame, round: Int): DataFrame = reliableDir match {
+      case Some(dir) =>
+        val p = s"$dir/cc_round_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
     // Materialize the input edge list ONCE: `nodes` and the iteration both derive from
     // it, and without this the entire upstream DAG (e.g. a full near-dup pairs pipeline)
     // recomputes per consumer — observed 3× wall-clock on q28.
-    val raw = edges.select(col("src").as("u"), col("dst").as("v"))
-      .distinct().localCheckpoint()
+    val raw = truncate(edges.select(col("src").as("u"), col("dst").as("v")).distinct(), 0)
     val nodes = raw.select(col("u").as("n"))
       .union(raw.select(col("v").as("n"))).distinct()
     var e = raw.filter(col("u") =!= col("v"))
@@ -70,7 +83,7 @@ object ConnectedComponents {
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = truncate(smallStar(largeStar(e)), iter + 1)
       val cur = checksum(e)
       converged = cur == prev
       prev = cur

@@ -66,14 +66,16 @@ object Multimodal {
   /**
    * Decode + feature-extract stage. Batch-shaped: one mapPartitions pass (the decoder
    * would amortize codec init per partition, not per row). Before the pass, rows are
-   * repartitioned so total payload per partition stays bounded — with real media
-   * (MBs/row) this is what keeps executors from OOMing at 100 TB.
+   * repartitioned by media_id so total payload per partition stays bounded — with real
+   * media (MBs/row) this is what keeps executors from OOMing at 100 TB. Partition COUNT
+   * is left to spark.sql.shuffle.partitions + AQE (advisoryPartitionSizeInBytes sizes
+   * post-shuffle partitions by bytes) — never a `count()` pre-pass, which would be a
+   * full extra scan of the largest table in the system.
    */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
-      targetRowsPerPartition: Int = 10000)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val n = math.max(1, (media.count() / targetRowsPerPartition).toInt)
-    media.repartition(n, col("media_id"))
+    media.repartition(col("media_id"))
       .mapPartitions { it =>
         // per-partition codec init would go here (amortized, batch-shaped)
         it.map { m =>

@@ -83,7 +83,15 @@ object Materialize {
         .write.mode("append").parquet(path + "_checkpoints")
     }
     bucketed.unpersist()
-    spark.read.parquet(path + "_checkpoints")
+    // first run over an EMPTY triple set: nothing pending, checkpoint dir never
+    // created — return an empty checkpoint table instead of PATH_NOT_FOUND
+    try spark.read.parquet(path + "_checkpoints")
+    catch {
+      case _: Throwable =>
+        import spark.implicits._
+        Seq.empty[(Int, Long, Long, String, java.sql.Timestamp)]
+          .toDF("bucket", "rows_out", "output_hash", "stage", "completed_at")
+    }
   }
 
   /** Resume: which buckets still need writing given an existing checkpoint table. */

@@ -156,20 +156,43 @@ object StreamExtract {
 
   /** Exactly-once triple emission across micro-batches: flatMapGroupsWithState keyed by
     * (subj, pred, obj, url) emits only first occurrences; later duplicates are dropped.
-    * State per key is a single boolean → bounded by distinct-triple cardinality and
-    * spillable to the RocksDB state store in production. */
-  def dedupedTriples(ts: Dataset[TimedTriple])(
+    * State per key is a single boolean, and — critically for an UNBOUNDED stream — it
+    * EXPIRES via an EVENT-TIME timeout `stateTtlMs` past the key's newest warc_ts
+    * (driven by the watermark, so no extra empty micro-batches are scheduled — a
+    * processing-time timer would make low-latency triggers spin): without a timeout the
+    * per-key state grows with distinct-triple cardinality forever. The tradeoff is
+    * explicit: a duplicate whose key was last seen more than the TTL before the
+    * watermark re-emits (downstream Materialize.dedup removes it at rest). Pass None
+    * for the unbounded-state exact mode (bounded inputs / backfills). */
+  def dedupedTriples(ts: Dataset[TimedTriple],
+      stateTtlMs: Option[Long] = Some(24L * 3600 * 1000))(
       implicit spark: SparkSession): Dataset[TimedTriple] = {
     import spark.implicits._
-    ts.groupByKey(t => (t.subj, t.pred, t.obj, t.url))
-      .flatMapGroupsWithState[Boolean, TimedTriple](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    val streaming = ts.isStreaming
+    val src = stateTtlMs match {
+      case Some(ms) if streaming => ts.withWatermark("warcTs", s"$ms milliseconds")
+      case _ => ts
+    }
+    src.groupByKey(t => (t.subj, t.pred, t.obj, t.url))
+      .flatMapGroupsWithState[Boolean, TimedTriple](OutputMode.Append(), timeout) {
+        case (_, _, state: GroupState[Boolean]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          val batch = rows.toVector
+          // sliding TTL anchored on the key's newest event time in this batch
+          // (watermark-relative; batch runs have no watermark → no timers)
+          def renew(): Unit = for (ms <- stateTtlMs if streaming)
+            state.setTimeoutTimestamp(batch.iterator.map(_.warcTs.getTime).max + ms)
+          if (state.exists) {
+            renew()
+            Iterator.empty
+          } else {
             state.update(true)
+            renew()
             // deterministic winner within the batch: min (begin, end)
-            rows.toVector.sortBy(t => (t.begin, t.end)).headOption.iterator
+            batch.sortBy(t => (t.begin, t.end)).headOption.iterator
           }
       }
   }

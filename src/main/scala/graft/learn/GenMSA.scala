@@ -97,6 +97,23 @@ object GenMSA {
   }
 
   /**
+   * Profile subsumption filter (ref BestPatterns.readProfiles,
+   * /root/reference/src/msa/BestPatterns.java:1057-1135 + removeDupes :1383-1414): a
+   * profile whose token sequence CONTAINS another surviving profile of the same
+   * (annotType, profileType) as a contiguous slice is redundant — every site it matches
+   * the shorter profile also matches — and is dropped. Pure driver-side pass over the
+   * (small, post-gate) collected pattern set.
+   */
+  def subsumptionFilter(patterns: Seq[Pattern]): Seq[Pattern] = {
+    val byKey = patterns.groupBy(p => (p.annotType, p.profileType))
+    patterns.filter { p =>
+      !byKey((p.annotType, p.profileType)).exists(o =>
+        o.profileId != p.profileId && o.toks.size < p.toks.size &&
+          p.toks.containsSlice(o.toks))
+    }
+  }
+
+  /**
    * All-pairs alignment within one block (pure; unit-testable). Produces BOTH pattern
    * kinds of the reference's pair model (ref src/msa/GenMSADriver.java:763,772):
    *  - context profiles (profileType 0): target-centred trimmed grids aligned all-pairs,

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.learn.{GenMSA, PatternStats}
+import graft.model.Pattern
+
+/** Learning-stage post-processing: subsumption filter + reference site scoring. */
+class LearnSpec extends AnyFunSuite with SparkTest {
+
+  private def pat(id: Long, annot: String, tp: Long, fp: Long, toks: String*): Pattern =
+    Pattern(id, toks.toVector, annot, 0, "msa", 0.9, tp, fp, 2)
+
+  test("subsumption filter drops profiles containing a shorter surviving profile") {
+    val short = pat(1, "T", 5, 0, ":token|string|founded", ":token|string|in", ":target")
+    val longer = pat(2, "T", 3, 0,
+      ":start", ":token|string|founded", ":token|string|in", ":target") // contains short
+    val unrelated = pat(3, "T", 2, 0, ":token|string|born", ":target")
+    val otherType = pat(4, "U", 2, 0,
+      ":start", ":token|string|founded", ":token|string|in", ":target") // other annotType
+    val kept = GenMSA.subsumptionFilter(Seq(short, longer, unrelated, otherType))
+    assert(kept.map(_.profileId).toSet === Set(1L, 3L, 4L))
+  }
+
+  test("subsumption filter requires a CONTIGUOUS slice, not a subsequence") {
+    val a = pat(1, "T", 5, 0, ":token|string|a", ":token|string|b")
+    val gapped = pat(2, "T", 3, 0,
+      ":token|string|a", ":token|string|x", ":token|string|b")
+    assert(GenMSA.subsumptionFilter(Seq(a, gapped)).map(_.profileId).toSet === Set(1L, 2L))
+  }
+
+  test("resolveOverlaps keeps min site score: shorter pattern, freq breaks ties") {
+    import spark.implicits._
+    // len 3 freq 90 → 3 − 0.9 = 2.1; len 3 freq 10 → 2.9; len 4 → ≥3.x loses
+    val p1 = pat(1, "T", 90, 0, ":a", ":b", ":target")
+    val p2 = pat(2, "T", 10, 0, ":c", ":d", ":target")
+    val p3 = pat(3, "T", 99, 0, ":a", ":b", ":c", ":target")
+    val patterns = spark.createDataset(Seq(p1, p2, p3))
+    val matches = Seq(
+      (1L, "u1", 10, 100L), (2L, "u1", 10, 100L), (3L, "u1", 10, 100L),
+      (3L, "u2", 20, 100L)
+    ).toDF("profileId", "url", "begin", "total")
+    val kept = PatternStats.resolveOverlaps(matches, patterns).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("profileId"))).toSet
+    assert(kept === Set(("u1", 1L), ("u2", 3L)))
+  }
+}

@@ -32,7 +32,7 @@ object Extract {
       it.flatMap { s =>
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
-        else PatternMatcher.matchAll(grid, index, prm).iterator.map { h =>
+        else PatternMatcher.matchAllCascaded(grid, index, prm).iterator.map { h =>
           Mention(s.url, h.pattern.annotType, h.targetBegin, h.targetEnd,
             PatternMatcher.trimTrailingPunct(h.value), h.pattern.profileId,
             h.pattern.score)
@@ -80,7 +80,7 @@ object Extract {
       it.flatMap { s =>
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
-        else PatternMatcher.matchAll(grid, index, prm).iterator
+        else PatternMatcher.matchAllCascaded(grid, index, prm).iterator
           .filter(_.subjBegin >= 0)
           .map { h =>
             Triple(h.subjValue, h.pattern.annotType,
@@ -113,7 +113,7 @@ object Extract {
       it.flatMap { s =>
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
-        else PatternMatcher.matchPairs(grid, index, targets, prm,
+        else PatternMatcher.matchPairsCascaded(grid, index, targets, prm,
           allowedPairs = Some(pairs.keySet)).iterator
           .filter(_.subjBegin < 0)
           .map { h =>
@@ -143,7 +143,7 @@ object Extract {
       it.flatMap { s =>
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
-        else PatternMatcher.matchPairs(grid, index, targets, prm,
+        else PatternMatcher.matchPairsCascaded(grid, index, targets, prm,
           allowedPairs = Some(pairs.keySet)).iterator
           .filter(_.subjBegin >= 0)
           .map { h =>

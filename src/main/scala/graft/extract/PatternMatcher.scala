@@ -22,7 +22,12 @@ import graft.model.Pattern
  */
 object PatternMatcher {
 
-  final case class Params(maxGapSpan: Int = 3, maxTargetLen: Int = 5, maxGridLen: Int = 300)
+  /** @param cascadeRounds extraction fixpoint bound: accepted targets are re-inserted
+    *        into the grid as annotation labels and matching repeats, so patterns may
+    *        reference earlier extractions (ref ProfileMatcher.java:773-820, do-while
+    *        :205-848). 1 = single pass (no cascade). */
+  final case class Params(maxGapSpan: Int = 3, maxTargetLen: Int = 5, maxGridLen: Int = 300,
+      cascadeRounds: Int = 1)
 
   final case class Compiled(pattern: Pattern, elems: Vector[String], literals: Vector[String])
 
@@ -284,6 +289,73 @@ object PatternMatcher {
         }
     }
     accepted.toVector
+  }
+
+  /** Re-insert accepted target spans as annotation labels (`:` + annotType, the same
+    * label Grid.build gives any non-Lookup annotation type) onto the covered columns —
+    * the cascade step (ref ProfileMatcher.java:773-820). */
+  def insertTargets(g: Grid, spans: Seq[(String, Int, Int)]): Grid =
+    if (spans.isEmpty) g
+    else g.copy(cols = g.cols.map { c =>
+      val add = spans.collect {
+        case (t, b, e) if b <= c.begin && e >= c.end && c.end > c.begin =>
+          ":" + t.toLowerCase
+      }
+      if (add.isEmpty) c else c.copy(labels = (c.labels ++ add).distinct)
+    })
+
+  /**
+   * Cascaded extraction: match, re-insert each accepted target as a grid annotation,
+   * and repeat until fixpoint (bounded by prm.cascadeRounds) — the reference's
+   * extraction-mode do-while (/root/reference/src/msa/ProfileMatcher.java:205-848,
+   * re-insert :773-820). Patterns referencing `:` + annotType labels fire on later
+   * rounds once an earlier pattern has extracted that type. Hits are deduped across
+   * rounds by (profile, span); overlap suppression applies within a round only (an
+   * inserted target MUST remain matchable by cascade consumers).
+   */
+  def matchAllCascaded(grid: Grid, index: Index, prm: Params = Params()): Vector[Hit] = {
+    var g = grid
+    val all = mutable.LinkedHashMap.empty[(Long, Int, Int), Hit]
+    var round = 0
+    var changed = true
+    while (changed && round < math.max(1, prm.cascadeRounds)) {
+      changed = false
+      val fresh = matchAll(g, index, prm)
+        .filterNot(h => all.contains((h.pattern.profileId, h.targetBegin, h.targetEnd)))
+      if (fresh.nonEmpty) {
+        fresh.foreach(h => all((h.pattern.profileId, h.targetBegin, h.targetEnd)) = h)
+        g = insertTargets(g, fresh.map(h =>
+          (h.pattern.annotType, h.targetBegin, h.targetEnd)))
+        changed = true
+      }
+      round += 1
+    }
+    all.values.toVector
+  }
+
+  /** Pair-model variant of [[matchAllCascaded]]. */
+  def matchPairsCascaded(grid: Grid, ctxIndex: Index,
+      targetsByType: Map[String, IndexedSeq[Compiled]], prm: Params = Params(),
+      allowedPairs: Option[Set[(Long, Long)]] = None): Vector[PairHit] = {
+    var g = grid
+    val all = mutable.LinkedHashMap.empty[(Long, Long, Int, Int), PairHit]
+    var round = 0
+    var changed = true
+    while (changed && round < math.max(1, prm.cascadeRounds)) {
+      changed = false
+      val fresh = matchPairs(g, ctxIndex, targetsByType, prm, allowedPairs)
+        .filterNot(h => all.contains(
+          (h.context.profileId, h.target.profileId, h.targetBegin, h.targetEnd)))
+      if (fresh.nonEmpty) {
+        fresh.foreach(h => all(
+          (h.context.profileId, h.target.profileId, h.targetBegin, h.targetEnd)) = h)
+        g = insertTargets(g, fresh.map(h =>
+          (h.context.annotType, h.targetBegin, h.targetEnd)))
+        changed = true
+      }
+      round += 1
+    }
+    all.values.toVector
   }
 
   private def coveredText(grid: Grid, b: Int, e: Int): String =

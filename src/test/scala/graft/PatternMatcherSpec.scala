@@ -103,6 +103,42 @@ class PatternMatcherSpec extends AnyFunSuite {
     assert(raw.map(_.value) === Vector("1997"))
   }
 
+  test("cascaded extraction: pattern B fires only after pattern A's target inserted") {
+    val g = gridOf("founded in 1999 by Acme")
+    val a = Pattern(1, Vector(":token|string|in", Grid.Target), "year", 0, "g", 1, 0, 0, 1)
+    // B references A's extraction via the inserted ":year" label
+    val b = Pattern(2, Vector(":year", ":token|string|by", Grid.Target),
+      "founder", 0, "g", 1, 0, 0, 1)
+    val idx = PatternMatcher.buildIndex(Seq(a, b))
+    // single pass: only A fires (no :year label exists yet)
+    val single = PatternMatcher.matchAllCascaded(g, idx,
+      PatternMatcher.Params(cascadeRounds = 1))
+    assert(single.map(_.pattern.annotType).toSet === Set("year"))
+    // cascade: round 2 sees the inserted :year and B fires on "Acme"
+    val casc = PatternMatcher.matchAllCascaded(g, idx,
+      PatternMatcher.Params(cascadeRounds = 3))
+    assert(casc.map(h => (h.pattern.annotType, h.value)).toSet ===
+      Set(("year", "1999"), ("founder", "Acme")))
+  }
+
+  test("cascaded pair matching reaches fixpoint and dedups across rounds") {
+    val g = gridOf("founded in 1999 by Acme")
+    val a = Pattern(1, Vector(":token|string|in", Grid.Target), "year", 0, "g", 1, 0, 0, 1)
+    val b = Pattern(2, Vector(":year", ":token|string|by", Grid.Target),
+      "founder", 0, "g", 1, 0, 0, 1)
+    val tNum = Pattern(11, Vector(":number"), "year", 1, "g", 1, 0, 0, 1)
+    val tCap = Pattern(12, Vector(":token|orth|upperinitial"), "founder", 1, "g", 1, 0, 0, 1)
+    val idx = PatternMatcher.buildIndex(Seq(a, b))
+    val targets = Map(
+      "year" -> IndexedSeq(PatternMatcher.compile(tNum)),
+      "founder" -> IndexedSeq(PatternMatcher.compile(tCap)))
+    val hits = PatternMatcher.matchPairsCascaded(g, idx, targets,
+      PatternMatcher.Params(cascadeRounds = 4))
+    assert(hits.map(h => (h.context.annotType, h.value)).toSet ===
+      Set(("year", "1999"), ("founder", "Acme")))
+    assert(hits.size === 2, "cross-round dedup failed")
+  }
+
   test("trailing punct trim and all-caps guard") {
     assert(PatternMatcher.trimTrailingPunct("1997,") === "1997")
     assert(PatternMatcher.trimTrailingPunct("Acme Corp") === "Acme Corp")

@@ -242,6 +242,13 @@ object SparkEntry {
         Seq("spark", "join", "window", "filter", "table"))
     }),
 
+    // ---- value-probability priors: the {prob, −1, 0} gate ladder ----
+    "q31_value_priors" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      DocExtract.valuePriors(t(s, d, "documents"), "doc_id", "text", "merge",
+        Seq("spark", "join", "window", "filter", "table"))
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -620,6 +627,25 @@ object SparkEntry {
                  CAST(floor(CASE WHEN tp + fp > 1 THEN tp * 10000.0 / (tp + fp - 1)
                                  ELSE tp * 10000.0 END) AS BIGINT) AS prec_bp
           FROM agg""",
+
+    "q31_value_priors" ->
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          pos AS (SELECT doc_id, unnest(tk) AS tok,
+                         generate_subscripts(tk, 1) AS i FROM toks),
+          gold AS (SELECT b.tok AS value, count(*) AS gold_cnt
+                   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   WHERE a.tok = 'merge'
+                     AND b.tok IN ('spark','join','window','filter','table')
+                   GROUP BY 1),
+          occ AS (SELECT tok AS value, count(*) AS total_cnt FROM pos GROUP BY 1)
+          SELECT 'after_merge' AS annot_type, g.value,
+                 CAST(g.gold_cnt AS BIGINT) AS gold_cnt,
+                 CAST(o.total_cnt AS BIGINT) AS total_cnt,
+                 CAST(CASE WHEN o.total_cnt < 3 THEN 0
+                           WHEN g.gold_cnt * 10000.0 / o.total_cnt >= 7000.0
+                             THEN floor(g.gold_cnt * 10000.0 / o.total_cnt)
+                           ELSE -1 END AS BIGINT) AS prior_bp
+          FROM gold g JOIN occ o USING (value)""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

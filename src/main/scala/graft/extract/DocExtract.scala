@@ -150,6 +150,40 @@ object DocExtract {
           .otherwise(col("tp") * 10000.0)).cast("long").as("prec_bp"))
   }
 
+  /**
+   * A6 value-probability priors over a documents table — oracle-checkable entry point
+   * for [[graft.learn.ValueProbs]]: gold = the token after `trigger` when it is one of
+   * `kws`; prior = the {prob·10000, −1, 0} ladder of P(occurrence is gold) per value.
+   */
+  def valuePriors(docs: DataFrame, idCol: String, textCol: String, trigger: String,
+      kws: Seq[String])(implicit spark: SparkSession): DataFrame = {
+    import graft.learn.ValueProbs
+    import spark.implicits._
+    val pred = s"after_$trigger"
+    val gazB = spark.sparkContext.broadcast(
+      Gazetteer.build(kws.map(w => GazEntry(w, "kw", "kw"))))
+    val sents = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val g = gazB.value
+        it.flatMap { case (id, text) =>
+          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            graft.mention.Sentences.group(s"synth://doc/$id", annots)
+          }
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triggerLabel = s":token|string|${trigger.toLowerCase}"
+    val gold = sents.flatMap { s =>
+      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+      grid.cols.sliding(2).collect {
+        case Seq(a, b) if a.has(triggerLabel) && b.has(":lookup|majortype|kw") =>
+          (s.url, pred, b.text)
+      }
+    }.toDF("url", "annotType", "value")
+    ValueProbs.compute(sents, gold, ValueProbs.Config())
+  }
+
   /** A hand-seeded single-anchor pattern: ":token|string|<trigger>" followed by a
     * one-token `:target` (minimal-span rule ⇒ exactly the next token). */
   def triggerPattern(trigger: String): Pattern =

@@ -156,6 +156,61 @@ object Extract {
     }
   }
 
+  /**
+   * Value-prior veto (the −1 rung of the reference's gate ladder, ref
+   * AutoAnnotateNER.genValProbMap consumption): mentions whose (annotType,
+   * lowercased value) has prior −1 — the corpus says this value is usually NOT of
+   * this type — are dropped. Neutral (0) and trusted (>0) priors pass through.
+   */
+  def applyPriors(ms: Dataset[Mention], priors: Map[(String, String), Long])(
+      implicit spark: SparkSession): Dataset[Mention] =
+    if (priors.isEmpty) ms
+    else {
+      val b = spark.sparkContext.broadcast(priors)
+      ms.filter(m => b.value.getOrElse((m.annotType, m.value.toLowerCase), 0L) != -1L)
+    }
+
+  /**
+   * Dictionary single-entity pass (ref addSingleEntities,
+   * /root/reference/src/msa/AutoAnnotateNER.java:2294-2460): values the prior table
+   * trusts (prior ≥ dictThreshold) are annotated at EVERY corpus occurrence, pattern
+   * match or not. Entries are (annotType, value, priorBp); the automaton is broadcast.
+   */
+  def dictionaryMentions(sentences: Dataset[SentenceAnnots],
+      entries: Seq[(String, String, Long)])(
+      implicit spark: SparkSession): Dataset[Mention] = {
+    import spark.implicits._
+    if (entries.isEmpty) return spark.emptyDataset[Mention]
+    val dict = entries.sortBy(e => (e._1, e._2)).toIndexedSeq
+    val acB = spark.sparkContext.broadcast(
+      graft.nlp.AhoCorasick.build(dict.map(_._2.toLowerCase.split("\\s+").toSeq)))
+    val dictB = spark.sparkContext.broadcast(dict)
+    sentences.flatMap { s =>
+      val toks = s.annots.filter(_.annotType == "Token").sortBy(_.begin).toIndexedSeq
+      val stream = toks.map(_.value.toLowerCase)
+      acB.value.findAll(stream).map { case (b0, e0, dictId) =>
+        val (annotType, _, priorBp) = dictB.value(dictId)
+        val begin = toks(b0).begin
+        val end = toks(e0 - 1).end
+        val value = toks.slice(b0, e0).map(_.value).mkString(" ")
+        Mention(s.url, annotType, begin, end, value, -2L, priorBp / 10000.0)
+      }
+    }
+  }
+
+  /** Deterministic mention dedup on (url, annotType, begin, end) — required before
+    * mergeAdjacent when pattern and dictionary mentions can land on the same span
+    * (two identical spans in one merge group would duplicate the value text). */
+  def dedupMentions(ms: Dataset[Mention])(implicit spark: SparkSession): Dataset[Mention] = {
+    import spark.implicits._
+    ms.toDF()
+      .groupBy($"url", $"annotType", $"begin", $"end")
+      .agg(min($"value").as("value"), min($"profileId").as("profileId"),
+        max($"score").as("score"))
+      .select($"url", $"annotType", $"begin", $"end", $"value", $"profileId", $"score")
+      .as[Mention]
+  }
+
   /** Compiled target profiles grouped by annotType, longest-first. */
   private def compileTargets(
       targetPatterns: Seq[Pattern]): Map[String, IndexedSeq[PatternMatcher.Compiled]] =

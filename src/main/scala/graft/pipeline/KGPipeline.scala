@@ -45,7 +45,8 @@ object KGPipeline {
    */
   def run(pages: Dataset[Page], goldAnnots: Dataset[Annotation], gaz: Gazetteer,
       msaCfg: GenMSA.Config = GenMSA.Config(),
-      statsCfg: PatternStats.Config = PatternStats.Config())(
+      statsCfg: PatternStats.Config = PatternStats.Config(),
+      priorsCfg: graft.learn.ValueProbs.Config = graft.learn.ValueProbs.Config())(
       implicit spark: SparkSession): Result = {
     import spark.implicits._
 
@@ -102,9 +103,19 @@ object KGPipeline {
     val plainPatterns = upgraded.collect { case (p, None) => p }
     val relTriples = Extract.relationTriplesPaired(allSents, relPatterns, tgtPatterns,
       allowedPairs, statsCfg.matcher)
-    val mentions = Extract.mergeAdjacent(
+    // value-probability priors (A6): veto mentions the validated corpus distrusts, and
+    // run the dictionary single-entity pass for values it trusts
+    val priorRows = graft.learn.ValueProbs.compute(trainSents, goldAnnots.toDF(), priorsCfg)
+      .collect()
+    val priorVeto = priorRows.map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    val dictEntries = priorRows.toSeq
+      .filter(_.getLong(4) >= math.round(priorsCfg.dictThreshold * 10000))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    val patMentions = Extract.applyPriors(
       Extract.mentionsPaired(allSents, plainPatterns, tgtPatterns, allowedPairs,
-        statsCfg.matcher))
+        statsCfg.matcher), priorVeto)
+    val mentions = Extract.mergeAdjacent(Extract.dedupMentions(
+      patMentions.unionByName(Extract.dictionaryMentions(allSents, dictEntries))))
     val rawTriples = Extract.triples(allSents, mentions).unionByName(relTriples)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -143,7 +154,8 @@ object KGPipeline {
       gaz: Gazetteer, stageDir: String, fingerprint: String, outPath: String,
       nBuckets: Int = 16,
       msaCfg: GenMSA.Config = GenMSA.Config(),
-      statsCfg: PatternStats.Config = PatternStats.Config())(
+      statsCfg: PatternStats.Config = PatternStats.Config(),
+      priorsCfg: graft.learn.ValueProbs.Config = graft.learn.ValueProbs.Config())(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cp = graft.runtime.StageCheckpoint(stageDir)
@@ -197,9 +209,22 @@ object KGPipeline {
       val plainPatterns = upgraded.collect { case (p, None) => p }
       val relTriples = Extract.relationTriplesPaired(allSents, relPatterns, tgtPatterns,
         allowedPairs, statsCfg.matcher)
-      val mentions = Extract.mergeAdjacent(
+      val goldUrls = goldAnnots.select($"url").distinct()
+      val trainSents = Sentences.fromAnnotations(
+        annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
+          .unionByName(goldAnnots))
+      val priorRows = graft.learn.ValueProbs.compute(trainSents, goldAnnots.toDF(),
+        priorsCfg).collect()
+      val priorVeto = priorRows.map(r =>
+        ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+      val dictEntries = priorRows.toSeq
+        .filter(_.getLong(4) >= math.round(priorsCfg.dictThreshold * 10000))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+      val patMentions = Extract.applyPriors(
         Extract.mentionsPaired(allSents, plainPatterns, tgtPatterns, allowedPairs,
-          statsCfg.matcher))
+          statsCfg.matcher), priorVeto)
+      val mentions = Extract.mergeAdjacent(Extract.dedupMentions(
+        patMentions.unionByName(Extract.dictionaryMentions(allSents, dictEntries))))
       Extract.triples(allSents, mentions).unionByName(relTriples).toDF()
     }.as[Triple]
 

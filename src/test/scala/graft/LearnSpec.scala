@@ -29,6 +29,48 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     assert(GenMSA.subsumptionFilter(Seq(a, gapped)).map(_.profileId).toSet === Set(1L, 2L))
   }
 
+  test("value-prob ladder: trusted prior, veto, and neutral-when-rare") {
+    import spark.implicits._
+    // corpus: "paris" occurs 4×, gold as city 4× → prob 1.0 → trusted (10000)
+    //         "may" occurs 5×, gold as month 1× → prob 0.2 < 0.7 → veto (−1)
+    //         "rare" occurs 1×, gold 1× → below minGlobalCount → neutral (0)
+    val texts = Seq(
+      "paris in may is nice", "paris in may again", "visit paris in may",
+      "paris weather in may or may not", "rare word here")
+    val sents = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+      graft.model.SentenceAnnots(s"u$i", 0, t.length,
+        graft.nlp.Tokenizer.annotate(s"u$i", t).filter(_.annotType == "Token"))
+    })
+    val gold = Seq(
+      ("city", "paris"), ("city", "paris"), ("city", "paris"), ("city", "paris"),
+      ("month", "may"), ("thing", "rare")).toDF("annotType", "value")
+    val got = graft.learn.ValueProbs.compute(sents, gold).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(("city", "paris")) === ((4L, 4L, 10000L)))
+    assert(got(("month", "may"))._3 === -1L)
+    assert(got(("thing", "rare"))._3 === 0L)
+  }
+
+  test("prior veto suppresses low-prior mentions; dictionary pass adds trusted values") {
+    import spark.implicits._
+    val ms = spark.createDataset(Seq(
+      graft.model.Mention("u1", "month", 0, 3, "May", 1L, 0.9),
+      graft.model.Mention("u1", "city", 4, 9, "Paris", 1L, 0.9)))
+    val veto = Map(("month", "may") -> -1L, ("city", "paris") -> 10000L)
+    val kept = graft.extract.Extract.applyPriors(ms, veto).collect()
+    assert(kept.map(_.annotType).toSeq === Seq("city"))
+
+    val sents = spark.createDataset(Seq(graft.model.SentenceAnnots("u2", 0, 20,
+      graft.nlp.Tokenizer.annotate("u2", "we love paris today")
+        .filter(_.annotType == "Token"))))
+    val dict = graft.extract.Extract.dictionaryMentions(sents,
+      Seq(("city", "paris", 10000L))).collect()
+    assert(dict.length === 1)
+    assert(dict.head.annotType === "city" && dict.head.value === "paris")
+    assert(dict.head.profileId === -2L)
+  }
+
   test("resolveOverlaps keeps min site score: shorter pattern, freq breaks ties") {
     import spark.implicits._
     // len 3 freq 90 → 3 − 0.9 = 2.1; len 3 freq 10 → 2.9; len 4 → ≥3.x loses

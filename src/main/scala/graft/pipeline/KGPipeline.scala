@@ -134,6 +134,28 @@ object KGPipeline {
     Result(patterns, finalPatterns, rawTriples, canonical)
   }
 
+  /**
+   * Optional pre-learning stage (the reference's dupFlag → AnnotateDuplicate,
+   * /root/reference/src/msa/IEDriver.java:1015-1019): augment the gold slice by
+   * propagating validated spans onto near-duplicate documents. Near-dups come from
+   * MinHash-LSH blocking over the page text (never all-pairs); span mapping runs in
+   * [[graft.learn.Propagate]]. Returns gold ∪ propagated — feed the result to run().
+   */
+  def propagateGold(pages: Dataset[Page], goldAnnots: Dataset[Annotation],
+      gaz: Gazetteer, minJaccardBp: Long = 7000L)(
+      implicit spark: SparkSession): Dataset[Annotation] = {
+    import spark.implicits._
+    val texts = Annotate.extractText(pages).toDF("url", "text")
+    val p0 = graft.dedup.Dedup.minhashLshPairs(texts, "url", "text",
+      minJaccardBp = minJaccardBp)
+    // symmetric propagation: validated spans flow both directions of each pair
+    val pairs = p0.select(col("id_a").as("url_a"), col("id_b").as("url_b"))
+      .unionByName(p0.select(col("id_b").as("url_a"), col("id_a").as("url_b")))
+    val sents = Sentences.fromAnnotations(Annotate.annotate(pages, gaz))
+    goldAnnots.unionByName(
+      graft.learn.Propagate.propagate(sents, goldAnnots, pairs))
+  }
+
   /** Run + materialize to a subject-bucketed parquet table with checkpoints. */
   def runAndWrite(pages: Dataset[Page], goldAnnots: Dataset[Annotation], gaz: Gazetteer,
       outPath: String, nBuckets: Int = 16)(implicit spark: SparkSession): DataFrame = {

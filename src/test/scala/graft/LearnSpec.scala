@@ -71,6 +71,28 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     assert(dict.head.profileId === -2L)
   }
 
+  test("duplicate-doc propagation: gold span lands on the near-dup's sentence") {
+    import spark.implicits._
+    val aText = "Acme Corp was founded in 1959 by investors"
+    val bText = "Acme Corp was founded in 1959 near the lake" // near-dup variant
+    val cText = "completely unrelated words appear here today"
+    def sentsOf(url: String, t: String) = spark.createDataset(Seq(
+      graft.model.SentenceAnnots(url, 0, t.length,
+        graft.nlp.Tokenizer.annotate(url, t).filter(_.annotType == "Token"))))
+    val sentences = sentsOf("a", aText)
+      .unionByName(sentsOf("b", bText)).unionByName(sentsOf("c", cText))
+    val b = aText.indexOf("1959")
+    val gold = spark.createDataset(Seq(graft.model.Annotation(
+      "a", 1, "founded-year", b, b + 4, "1959", Map.empty, "gold", 1.0)))
+    val pairs = Seq(("a", "b"), ("a", "c")).toDF("url_a", "url_b")
+    val got = graft.learn.Propagate.propagate(sentences, gold, pairs).collect()
+    assert(got.length === 1, s"got ${got.toSeq}")
+    val p = got.head
+    assert(p.url === "b" && p.annotType === "founded-year" && p.value === "1959")
+    assert(bText.substring(p.begin, p.end) === "1959")
+    assert(p.provenance === "dup-propagated")
+  }
+
   test("resolveOverlaps keeps min site score: shorter pattern, freq breaks ties") {
     import spark.implicits._
     // len 3 freq 90 → 3 − 0.9 = 2.1; len 3 freq 10 → 2.9; len 4 → ≥3.x loses

@@ -63,7 +63,8 @@ object PatternStats {
    */
   def applyPatternsPaired(sentences: Dataset[SentenceAnnots],
       contextPatterns: Seq[Pattern], targetPatterns: Seq[Pattern],
-      cfg: Config = Config())(implicit spark: SparkSession): Dataset[PatternMatch] = {
+      cfg: Config = Config(), allowedPairs: Option[Set[(Long, Long)]] = None)(
+      implicit spark: SparkSession): Dataset[PatternMatch] = {
     import spark.implicits._
     val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(contextPatterns))
     val tgtB = spark.sparkContext.broadcast(
@@ -71,21 +72,56 @@ object PatternStats {
         t -> ps.sortBy(p => (-p.toks.size, p.toks.mkString("")))
           .map(PatternMatcher.compile).toIndexedSeq
       })
+    val allowedB = spark.sparkContext.broadcast(allowedPairs)
     sentences.mapPartitions { it =>
       val index = idxB.value
       val targets = tgtB.value
+      val allowed = allowedB.value
       it.flatMap { s =>
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
         // stats count RAW pair matches (no overlap suppression): the reference computes
         // precision before overlap filtering
         else PatternMatcher.matchPairs(grid, index, targets, cfg.matcher,
-          allowedPairs = None, suppressOverlaps = false).iterator.map { h =>
+          allowedPairs = allowed, suppressOverlaps = false).iterator.map { h =>
           PatternMatch(h.context.profileId, h.target.profileId, s.url,
             h.targetBegin, h.targetEnd, PatternMatcher.trimTrailingPunct(h.value))
         }
       }
     }
+  }
+
+  /**
+   * Staged pair scoring — the reference's internalBlockSize staged filtering
+   * (/root/reference/src/msa/ProfileStats.java:270-375: hopeless patterns are killed
+   * mid-run so later sentences skip them) re-expressed as a two-pass sample-then-full
+   * design: pass 1 scores pairs on a deterministic url-hash sample and KILLS pairs
+   * with enough evidence of hopeless precision; pass 2 matches the full slice with
+   * only the surviving pairs. At web scale the sample pass costs `sampleFraction` of
+   * one matching pass and removes the dominant cost of matching junk patterns
+   * everywhere. Returns pass-2 pair stats (same shape as [[scorePairs]]).
+   */
+  def scorePairsStaged(sentences: Dataset[SentenceAnnots],
+      contextPatterns: Seq[Pattern], targetPatterns: Seq[Pattern], gold: DataFrame,
+      patterns: Dataset[Pattern], cfg: Config = Config(),
+      sampleFraction: Double = 0.1, killPrec: Double = 0.1, killMinTotal: Long = 10)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pct = math.max(1, math.round(sampleFraction * 100).toInt)
+    val sample = sentences.filter(s =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s.url), 100) < pct)
+    val m1 = applyPatternsPaired(sample, contextPatterns, targetPatterns, cfg)
+    val s1 = scorePairs(m1, gold, patterns, cfg)
+    val killed = s1.filter($"prec" < killPrec && $"total" >= killMinTotal)
+      .select($"profileId", $"targetId").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = (for {
+      c <- contextPatterns; t <- targetPatterns if t.annotType == c.annotType
+    } yield (c.profileId, t.profileId)).toSet
+    val survivors = allPairs -- killed
+    val m2 = applyPatternsPaired(sentences, contextPatterns, targetPatterns, cfg,
+      allowedPairs = Some(survivors))
+    scorePairs(m2, gold, patterns, cfg)
   }
 
   /**

@@ -93,6 +93,66 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     assert(p.provenance === "dup-propagated")
   }
 
+  test("eval scorer: entity and token P/R/F1 with tolerance") {
+    import spark.implicits._
+    // tokens: "Acme Corp won" → (0,4) (5,9) (10,13)
+    val tokens = Seq(("u", 0, 4), ("u", 5, 9), ("u", 10, 13)).toDF("url", "begin", "end")
+    val gold = Seq(("u", "org", 0, 9)).toDF("url", "annotType", "begin", "end")
+    // pred 1: off-by-one boundary (0,8); pred 2: spurious (10,13)
+    val pred = Seq(("u", "org", 0, 8), ("u", "org", 10, 13))
+      .toDF("url", "annotType", "begin", "end")
+    val strict = graft.learn.Eval.score(pred, gold, tokens, tolerance = 0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // entity strict: no exact span match → tp 0, fp 2, fn 1
+    assert(strict(("org", "entity")) === ((0L, 2L, 1L)))
+    // token: pred (0,8) covers token (0,4) only; (10,13) covers its token.
+    // gold covers (0,4),(5,9). tp=1 [(0,4)], fp=1 [(10,13)], fn=1 [(5,9)]
+    assert(strict(("org", "token")) === ((1L, 1L, 1L)))
+    val tol = graft.learn.Eval.score(pred, gold, tokens, tolerance = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // ±1 tolerance: (0,8) matches gold (0,9) → entity tp 1, fp 1, fn 0
+    assert(tol(("org", "entity")) === ((1L, 1L, 0L)))
+    val all = tol(("ALL", "entity"))
+    assert(all === ((1L, 1L, 0L)))
+  }
+
+  test("staged scoring kills hopeless pairs in the sample pass; good pairs keep stats") {
+    import spark.implicits._
+    // 40 docs: "merge N" where the token after merge is gold; junk ctx pattern
+    // matches the token after "the" (never gold)
+    val texts = (0 until 40).map(i => s"alpha the beta merge spark line $i")
+    val sents = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+      graft.model.SentenceAnnots(s"u$i", 0, t.length,
+        graft.nlp.Tokenizer.annotate(s"u$i", t).filter(_.annotType == "Token"))
+    })
+    val good = graft.model.Pattern(1L, Vector(":token|string|merge", graft.align.Grid.Target),
+      "T", 0, "g", 1, 0, 0, 1)
+    val junk = graft.model.Pattern(2L, Vector(":token|string|the", graft.align.Grid.Target),
+      "T", 0, "g", 1, 0, 0, 1)
+    val tWord = graft.model.Pattern(11L, Vector(":token|kind|word"), "T", 1, "g", 1, 0, 0, 1)
+    val patterns = spark.createDataset(Seq(good, junk, tWord))
+    val gold = sents.flatMap { s =>
+      val toks = s.annots.sortBy(_.begin)
+      toks.sliding(2).collect {
+        case Seq(a, b) if a.value == "merge" => (s.url, "T", b.begin, b.end)
+      }
+    }.toDF("url", "annotType", "begin", "end")
+    val cfg = graft.learn.PatternStats.Config(evalTolerance = 0)
+    val staged = graft.learn.PatternStats.scorePairsStaged(sents, Seq(good, junk),
+      Seq(tWord), gold, patterns, cfg, sampleFraction = 0.3, killPrec = 0.2,
+      killMinTotal = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(!staged.contains((2L, 11L)), s"junk pair not killed: $staged")
+    // good pair stats equal the unstaged full-pass stats
+    val full = graft.learn.PatternStats.scorePairs(
+      graft.learn.PatternStats.applyPatternsPaired(sents, Seq(good), Seq(tWord), cfg),
+      gold, patterns, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(staged((1L, 11L)) === full((1L, 11L)))
+  }
+
   test("resolveOverlaps keeps min site score: shorter pattern, freq breaks ties") {
     import spark.implicits._
     // len 3 freq 90 → 3 − 0.9 = 2.1; len 3 freq 10 → 2.9; len 4 → ≥3.x loses

@@ -51,6 +51,14 @@ object Bench {
     }
     spark.stop()
 
+    // battery-only mode for local iteration (driver runs the full mode per round)
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("battery")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"battery","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      return
+    }
+
     // ---- phase 2: scaling evidence on the extraction path ----
     // Each parallelism level runs in a FRESH child JVM (the sandbox analog of one
     // spark-submit per cluster size, per the BASELINE.md protocol): JIT/code-cache/GC

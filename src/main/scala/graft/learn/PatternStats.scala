@@ -161,6 +161,29 @@ object PatternStats {
       .filter(col("bestPrec") >= cfg.activeThreshold)
       .select(col("profileId"))
 
+  /**
+   * J5 gold-span boundary snap (ref BestPatterns.java:1332-1358): human-validated
+   * spans need not start/end on token boundaries; snap each gold span outward to the
+   * tokens it intersects — begin = min(begin) and end = max(end) of intersecting
+   * Token rows — so gold keys compare exactly against tokenizer-aligned predictions.
+   * Range join per url on the (small) gold slice + one min/max aggregation; spans
+   * intersecting no token pass through unchanged.
+   */
+  def snapGoldToTokens(gold: DataFrame, tokens: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val t = tokens.select(col("url").as("t_url"), col("begin").as("t_begin"),
+      col("end").as("t_end"))
+    gold.join(t, col("url") === col("t_url") &&
+        col("t_begin") < col("end") && col("t_end") > col("begin"), "left")
+      .groupBy(gold.columns.map(col): _*)
+      .agg(min(col("t_begin")).as("s_begin"), max(col("t_end")).as("s_end"))
+      .withColumn("begin2", coalesce(col("s_begin"), col("begin")))
+      .withColumn("end2", coalesce(col("s_end"), col("end")))
+      .drop("begin", "end", "s_begin", "s_end")
+      .withColumnRenamed("begin2", "begin")
+      .withColumnRenamed("end2", "end")
+  }
+
   /** Shared ±tolerance gold join: exploded {−tol..+tol}² boundary variants equi-joined
     * to gold on (url, span, annotType). */
   private def judgeMatches(matches: Dataset[PatternMatch], gold: DataFrame,

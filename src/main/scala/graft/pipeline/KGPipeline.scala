@@ -74,7 +74,11 @@ object KGPipeline {
     // ProfileReader per-pair gates + A3 active check)
     val matches = PatternStats.applyPatternsPaired(trainSents, ctxPatterns, tgtPatterns,
       statsCfg)
-    val gold = goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end")
+    // J5: snap ragged human-validated boundaries outward to token extents first
+    val tokenSpans = trainAnnots.toDF().filter($"annotType" === "Token")
+      .select($"url", $"begin", $"end")
+    val gold = PatternStats.snapGoldToTokens(
+      goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end"), tokenSpans)
     val pairStats = PatternStats.scorePairs(matches, gold, patterns, statsCfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allowedPairs = PatternStats.keptPairs(pairStats, statsCfg)
@@ -205,7 +209,10 @@ object KGPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val matches = PatternStats.applyPatternsPaired(trainSents, ctxPatterns,
         tgtPatterns, statsCfg)
-      val gold = goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end")
+      val tokenSpans = trainAnnots.toDF().filter($"annotType" === "Token")
+        .select($"url", $"begin", $"end")
+      val gold = PatternStats.snapGoldToTokens(
+        goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end"), tokenSpans)
       val pairStats = PatternStats.scorePairs(matches, gold,
         spark.createDataset(learned), statsCfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -153,6 +153,17 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     assert(staged((1L, 11L)) === full((1L, 11L)))
   }
 
+  test("gold-span snap aligns ragged boundaries to token extents") {
+    import spark.implicits._
+    // tokens "Acme Corp" → (0,4), (5,9); ragged gold (2,7) snaps to (0,9)
+    val tokens = Seq(("u", 0, 4), ("u", 5, 9)).toDF("url", "begin", "end")
+    val gold = Seq(("u", "org", 2, 7), ("u", "org", 20, 25))
+      .toDF("url", "annotType", "begin", "end")
+    val got = graft.learn.PatternStats.snapGoldToTokens(gold, tokens).collect()
+      .map(r => (r.getAs[Int]("begin"), r.getAs[Int]("end"))).toSet
+    assert(got === Set((0, 9), (20, 25))) // no-token span passes through
+  }
+
   test("resolveOverlaps keeps min site score: shorter pattern, freq breaks ties") {
     import spark.implicits._
     // len 3 freq 90 → 3 − 0.9 = 2.1; len 3 freq 10 → 2.9; len 4 → ≥3.x loses

@@ -316,19 +316,23 @@ object PatternMatcher {
   def matchAllCascaded(grid: Grid, index: Index, prm: Params = Params()): Vector[Hit] = {
     var g = grid
     val all = mutable.LinkedHashMap.empty[(Long, Int, Int), Hit]
+    val maxRounds = math.max(1, prm.cascadeRounds)
     var round = 0
     var changed = true
-    while (changed && round < math.max(1, prm.cascadeRounds)) {
+    while (changed && round < maxRounds) {
       changed = false
       val fresh = matchAll(g, index, prm)
         .filterNot(h => all.contains((h.pattern.profileId, h.targetBegin, h.targetEnd)))
       if (fresh.nonEmpty) {
         fresh.foreach(h => all((h.pattern.profileId, h.targetBegin, h.targetEnd)) = h)
-        g = insertTargets(g, fresh.map(h =>
-          (h.pattern.annotType, h.targetBegin, h.targetEnd)))
-        changed = true
-      }
-      round += 1
+        round += 1
+        // rebuilding the grid is pointless when no further round will run
+        if (round < maxRounds) {
+          g = insertTargets(g, fresh.map(h =>
+            (h.pattern.annotType, h.targetBegin, h.targetEnd)))
+          changed = true
+        }
+      } else round += 1
     }
     all.values.toVector
   }
@@ -339,9 +343,10 @@ object PatternMatcher {
       allowedPairs: Option[Set[(Long, Long)]] = None): Vector[PairHit] = {
     var g = grid
     val all = mutable.LinkedHashMap.empty[(Long, Long, Int, Int), PairHit]
+    val maxRounds = math.max(1, prm.cascadeRounds)
     var round = 0
     var changed = true
-    while (changed && round < math.max(1, prm.cascadeRounds)) {
+    while (changed && round < maxRounds) {
       changed = false
       val fresh = matchPairs(g, ctxIndex, targetsByType, prm, allowedPairs)
         .filterNot(h => all.contains(
@@ -349,11 +354,13 @@ object PatternMatcher {
       if (fresh.nonEmpty) {
         fresh.foreach(h => all(
           (h.context.profileId, h.target.profileId, h.targetBegin, h.targetEnd)) = h)
-        g = insertTargets(g, fresh.map(h =>
-          (h.context.annotType, h.targetBegin, h.targetEnd)))
-        changed = true
-      }
-      round += 1
+        round += 1
+        if (round < maxRounds) {
+          g = insertTargets(g, fresh.map(h =>
+            (h.context.annotType, h.targetBegin, h.targetEnd)))
+          changed = true
+        }
+      } else round += 1
     }
     all.values.toVector
   }

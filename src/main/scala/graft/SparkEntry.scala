@@ -624,8 +624,9 @@ object SparkEntry {
                  CAST(target_id AS BIGINT) AS target_id,
                  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
                  CAST(tp + fp AS BIGINT) AS total,
-                 CAST(floor(CASE WHEN tp + fp > 1 THEN tp * 10000.0 / (tp + fp - 1)
-                                 ELSE tp * 10000.0 END) AS BIGINT) AS prec_bp
+                 CAST(CASE WHEN tp + greatest(fp - 1, 0) > 0
+                           THEN floor(tp * 10000.0 / (tp + greatest(fp - 1, 0)))
+                           ELSE 0 END AS BIGINT) AS prec_bp
           FROM agg""",
 
     "q31_value_priors" ->

@@ -109,7 +109,7 @@ object DocExtract {
    * target (`:token|kind|word`). Gold spans are derived deterministically (the token
    * after the trigger when it is a gazetteer keyword), so per-pair tp/fp/precision is
    * exactly replayable in SQL. Returns (profile_id, target_id, tp, fp, total, prec_bp)
-   * with the reference's per-doc cap 50 and tp/(total−1) correction.
+   * with the reference's per-doc cap 50 and neg-only −1 correction.
    */
   def pairStats(docs: DataFrame, idCol: String, textCol: String, trigger: String,
       kws: Seq[String])(implicit spark: SparkSession): DataFrame = {
@@ -144,10 +144,12 @@ object DocExtract {
     val cfg = PatternStats.Config(evalTolerance = 0)
     val matches = PatternStats.applyPatternsPaired(sents, Seq(ctx), Seq(tKw, tWord), cfg)
     PatternStats.scorePairs(matches, gold, spark.createDataset(Seq(ctx, tKw, tWord)), cfg)
+      .withColumn("fpAdj", greatest(col("fp") - 1, lit(0L)))
       .select(col("profileId").as("profile_id"), col("targetId").as("target_id"),
         col("tp"), col("fp"), col("total"),
-        floor(when(col("total") > 1, col("tp") * 10000.0 / (col("total") - 1))
-          .otherwise(col("tp") * 10000.0)).cast("long").as("prec_bp"))
+        when(col("tp") + col("fpAdj") > 0,
+          floor(col("tp") * 10000.0 / (col("tp") + col("fpAdj"))))
+          .otherwise(lit(0)).cast("long").as("prec_bp"))
   }
 
   /**

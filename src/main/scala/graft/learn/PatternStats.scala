@@ -15,8 +15,10 @@ import graft.model.{Pattern, PatternMatch, SentenceAnnots}
  *  A1  TP/FP counting per pattern with a per-doc cap of 50 counted matches
  *      (ref BestPatterns.java:441-443,468-470) — pre-aggregate per (pattern, url) with
  *      least(count, 50) so the cap is map-side and skew-proof.
- *  A2  precision = tp / (tp + fp − 1) with the reference's −1 correction
- *      (BestPatterns.java:528-529), promote at prec ≥ posThreshold ∧ total ≥ minCount.
+ *  A2  precision = tp / (tp + max(fp−1, 0)) — the reference subtracts 1 from the
+ *      NEGATIVE count only, "to correct for human errors or unannotated retrospective
+ *      cases" (BestPatterns.java:525-531) — promote at prec ≥ posThreshold ∧
+ *      total ≥ minCount.
  *  W1  overlap resolution: among patterns matching the same (url, begin) site keep the
  *      best (min score = patternLen − freq normalization, max total) via one window
  *      (BestPatterns.java:865-935).
@@ -127,7 +129,8 @@ object PatternStats {
   /**
    * Per-(context, target) pair statistics — the reference's `final` table
    * (/root/reference/sql/ie-mysql.sql:24-33, written BestPatterns.java:515-609):
-   * ±tolerance gold join, per-doc cap 50, tp/(tp+fp−1) precision, keyed by the PAIR.
+   * ±tolerance gold join, per-doc cap 50, precision with the neg-only −1 correction,
+   * keyed by the PAIR.
    * Returns (profileId, targetId, tp, fp, total, prec).
    */
   def scorePairs(matches: Dataset[PatternMatch], gold: DataFrame,
@@ -143,9 +146,14 @@ object PatternStats {
     perDoc.groupBy($"profileId", $"targetId")
       .agg(sum($"tp").as("tp"), sum($"fp").as("fp"))
       .withColumn("total", $"tp" + $"fp")
+      // the reference's correction subtracts 1 from the NEGATIVE count only (and only
+      // when fp > 0): prec = tp / (tp + max(fp−1, 0)) — never exceeds 1.0
+      // (ref BestPatterns.java:525-531)
+      .withColumn("fpAdj", greatest($"fp" - 1, lit(0L)))
       .withColumn("prec",
-        when($"tp" + $"fp" > 1, $"tp".cast("double") / ($"tp" + $"fp" - 1))
-          .otherwise($"tp".cast("double")))
+        when($"tp" + $"fpAdj" > 0, $"tp".cast("double") / ($"tp" + $"fpAdj"))
+          .otherwise(lit(0.0)))
+      .drop("fpAdj")
   }
 
   /** Pairs passing the promotion gate (ref ProfileReader.readFinal per-pair gates,
@@ -227,12 +235,15 @@ object PatternStats {
     val counts = perDoc.groupBy($"profileId")
       .agg(sum($"tp").as("tp"), sum($"fp").as("fp"))
 
-    // A2 precision with the reference's (tp + fp − 1) denominator correction
+    // A2 precision with the reference's neg-only −1 correction
+    // (ref BestPatterns.java:525-531: if (negCount > 0) negCount--)
     val stats = counts
       .withColumn("total", $"tp" + $"fp")
+      .withColumn("fpAdj", greatest($"fp" - 1, lit(0L)))
       .withColumn("prec",
-        when($"tp" + $"fp" > 1, $"tp".cast("double") / ($"tp" + $"fp" - 1))
-          .otherwise($"tp".cast("double")))
+        when($"tp" + $"fpAdj" > 0, $"tp".cast("double") / ($"tp" + $"fpAdj"))
+          .otherwise(lit(0.0)))
+      .drop("fpAdj")
 
     val kept = stats.filter($"prec" >= cfg.posThreshold && $"total" >= cfg.minCount)
 

@@ -13,9 +13,21 @@ package graft.align
  */
 object MSA {
 
-  /** Alignment quality gates — the reference's countGaps/countSyntax limits
-    * (/root/reference/src/msa/MSAUtils.java:17-55, applied GenMSA.java:514-541). */
-  final case class Gates(maxGaps: Int = 4, minAnchors: Int = 2, minScore: Double = 0.0)
+  /** Alignment quality gates — the reference's countGaps/countSyntax/countPhrase
+    * limits (/root/reference/src/msa/MSAUtils.java:17-55, applied GenMSA.java:514-541).
+    * maxSyntax bounds anchors that are ONLY syntax-level (`:syntaxtreenode…`);
+    * maxPhrase bounds phrase-node anchors — both unlimited by default (this pipeline
+    * produces no parser annotations unless a chunker stage adds them). */
+  final case class Gates(maxGaps: Int = 4, minAnchors: Int = 2, minScore: Double = 0.0,
+      maxSyntax: Int = Int.MaxValue, maxPhrase: Int = Int.MaxValue)
+
+  /** Anchors whose matched label is syntax-level (ref MSAUtils.countSyntax). */
+  def countSyntax(al: SmithWaterman.Alignment): Int =
+    al.anchors.count(_.label.startsWith(":syntaxtreenode"))
+
+  /** Phrase-node anchors (ref MSAUtils.countPhrase: `:syntaxtreenode|cat|…` phrases). */
+  def countPhrase(al: SmithWaterman.Alignment): Int =
+    al.anchors.count(_.label.startsWith(":syntaxtreenode|cat|"))
 
   /**
    * Render the pattern token sequence from an alignment: anchors in order; a single
@@ -29,6 +41,8 @@ object MSA {
   def toPattern(al: SmithWaterman.Alignment, gates: Gates = Gates(),
       requireTarget: Boolean = true): Option[Vector[String]] = {
     if (requireTarget && !al.coversTarget) return None
+    if (countSyntax(al) > gates.maxSyntax) return None
+    if (countPhrase(al) > gates.maxPhrase) return None
     if (al.anchors.length < gates.minAnchors) return None
     if (al.gapCount > gates.maxGaps) return None
     val out = Vector.newBuilder[String]

@@ -35,6 +35,10 @@ object GenMSA {
       // target profiles are short (often one anchor like ":number"), so their gates
       // are looser than the context gates
       targetGates: MSA.Gates = MSA.Gates(maxGaps = 1, minAnchors = 1),
+      // also learn UNtrimmed full-sentence context profiles (the reference's
+      // profile_type 3, ref GenMSADriver.java:929) — higher precision, lower recall;
+      // they match like type-0 contexts and share the pair gates
+      fullSentence: Boolean = false,
       swParams: SmithWaterman.Params = SmithWaterman.Params())
 
   /** One target-centred training grid, keyed for blocking. */
@@ -159,6 +163,12 @@ object GenMSA {
     }
     allPairs(ctxGrids, cfg.gates, requireTarget = true, pType = 0)
     allPairs(tgtGrids, cfg.targetGates, requireTarget = false, pType = 1)
+    if (cfg.fullSentence) {
+      val fullGrids = goldSpans.collect { case (s, targets) if targets.nonEmpty =>
+        Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots, targets)
+      }
+      allPairs(fullGrids, cfg.gates, requireTarget = true, pType = 3)
+    }
     out.result()
   }
 }

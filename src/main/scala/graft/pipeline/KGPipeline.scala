@@ -67,7 +67,8 @@ object KGPipeline {
     val learned = patterns.collect().toSeq // small by construction (post minRows gate)
     // subsumption filter (ref BestPatterns.readProfiles): drop context profiles whose
     // token sequence contains a shorter surviving profile - redundant at match time
-    val ctxPatterns = GenMSA.subsumptionFilter(learned.filter(_.profileType == 0))
+    val ctxPatterns = GenMSA.subsumptionFilter(
+      learned.filter(p => p.profileType == 0 || p.profileType == 3))
     val tgtPatterns = learned.filter(_.profileType == 1)
 
     // 4. per-PAIR precision gates against the gold slice (ref `final` table +
@@ -197,7 +198,8 @@ object KGPipeline {
       val trainSents = Sentences.fromAnnotations(trainAnnots)
       GenMSA.learn(trainSents, "gold", msaCfg).toDF()
     }.as[graft.model.Pattern].collect().toSeq
-    val ctxPatterns = GenMSA.subsumptionFilter(learned.filter(_.profileType == 0))
+    val ctxPatterns = GenMSA.subsumptionFilter(
+      learned.filter(p => p.profileType == 0 || p.profileType == 3))
     val tgtPatterns = learned.filter(_.profileType == 1)
 
     // per-pair gate table (the reference's `final` read, per-pair + A3 active check)

@@ -164,6 +164,29 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     assert(got === Set((0, 9), (20, 25))) // no-token span passes through
   }
 
+  test("fullSentence mode also learns untrimmed profile_type-3 context profiles") {
+    import spark.implicits._
+    val texts = Seq(
+      "prefix words here then Acme was founded in 1959 closing tail words",
+      "prefix words here then Umbrella was founded in 1970 closing tail words")
+    val sents = texts.zipWithIndex.map { case (t, i) =>
+      val b = t.indexOf("19")
+      val annots = graft.nlp.Tokenizer.annotate(s"u$i", t) :+
+        graft.model.Annotation(s"u$i", 999, "founded-year", b, b + 4,
+          t.substring(b, b + 4), Map.empty, "gold", 1.0)
+      graft.model.SentenceAnnots(s"u$i", 0, t.length, annots)
+    }
+    val ds = spark.createDataset(sents)
+    val cfg = graft.learn.GenMSA.Config(trimSize = 2, minRows = 1, fullSentence = true)
+    val learned = graft.learn.GenMSA.learn(ds, "gold", cfg).collect()
+    val types = learned.map(_.profileType).toSet
+    assert(types.contains(0) && types.contains(3), s"types=$types")
+    // the type-3 profile covers more context columns than the trimmed type-0 one
+    val max0 = learned.filter(_.profileType == 0).map(_.toks.size).max
+    val max3 = learned.filter(_.profileType == 3).map(_.toks.size).max
+    assert(max3 > max0, s"full-sentence $max3 should exceed trimmed $max0")
+  }
+
   test("resolveOverlaps keeps min site score: shorter pattern, freq breaks ties") {
     import spark.implicits._
     // len 3 freq 90 → 3 − 0.9 = 2.1; len 3 freq 10 → 2.9; len 4 → ≥3.x loses

@@ -38,6 +38,35 @@ object Annotate {
     }
   }
 
+  /**
+   * Fused page → sentence pass: extract+normalize, tokenize, gazetteer, AND sentence
+   * grouping in ONE narrow stage. A page's annotations are born co-located in its
+   * task, so grouping them into sentences here avoids re-shuffling the entire
+   * annotation set on url — at corpus scale that shuffle (annotations are ~10× the
+   * text bytes) was the single biggest exchange in the pipeline. Use
+   * [[graft.mention.Sentences.fromAnnotations]] only when annotations arrive from an
+   * external table (e.g. resumed from the annotation sink) rather than this pass.
+   *
+   * @param extraByUrl additional per-url annotations (e.g. the gold spans of the
+   *        validated training slice — small and broadcastable by design) merged in
+   *        before sentence grouping.
+   */
+  def annotateSentences(pages: Dataset[Page], gaz: Gazetteer,
+      extraByUrl: Map[String, Seq[Annotation]] = Map.empty)(
+      implicit spark: SparkSession): Dataset[graft.model.SentenceAnnots] = {
+    import spark.implicits._
+    val gazB = spark.sparkContext.broadcast(gaz)
+    val extraB = spark.sparkContext.broadcast(extraByUrl)
+    extractText(pages).mapPartitions { it =>
+      val g = gazB.value
+      val extra = extraB.value
+      it.flatMap { case (url, text) =>
+        val annots = annotateOne(url, text, g) ++ extra.getOrElse(url, Nil)
+        graft.mention.Sentences.group(url, annots)
+      }
+    }
+  }
+
   /** P2: drop punctuation Token annotations — the reference's `punctuation=false` mode
     * (/root/reference/src/msa/db/MySQLDBInterface.java:326-329). Declarative column
     * filter → stays inside whole-stage codegen, pushes past the scan where possible. */

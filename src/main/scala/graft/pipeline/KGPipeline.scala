@@ -16,8 +16,9 @@ import graft.sink.Materialize
  * reference's IEDriver loop (/root/reference/src/msa/IEDriver.java:527-1363), with each
  * stage a declarative Dataset transformation instead of a JDBC status machine:
  *
- *   pages ─ annotate (html→text, tokens, gazetteer Lookups; narrow, no shuffle)
- *         ─ sentences (one shuffle on url)
+ *   pages ─ annotate + sentence-group (html→text, tokens, gazetteer Lookups, grid
+ *           grouping — ONE fused narrow stage, zero shuffle: a page's annotations are
+ *           born co-located, so the url re-shuffle of the annotation set is gone)
  *         ─ learn: blocked all-pairs MSA on the gold slice → patterns (tiny)
  *         ─ stats: match + precision gates → final patterns (broadcast)
  *         ─ extract: mentions on ALL pages (narrow; patterns broadcast)
@@ -25,8 +26,8 @@ import graft.sink.Materialize
  *         ─ link + CC: blocking-join edges, large-star/small-star canonicalization
  *         ─ materialize: dedup, subject-bucketed partitioned write + checkpoints
  *
- * Total shuffle budget on the big (all-pages) path: one url shuffle for sentence
- * grouping, one window shuffle for subject resolution, one groupBy for dedup — the
+ * Total shuffle budget on the big (all-pages) path: one window shuffle for subject
+ * resolution, one groupBy for dedup — the
  * learning path only ever touches the validated slice (exactly the reference's design:
  * learning on status-1 docs, extraction on status-0, SURVEY.md §7.4.2).
  */
@@ -50,15 +51,17 @@ object KGPipeline {
       implicit spark: SparkSession): Result = {
     import spark.implicits._
 
-    // 1. annotate all pages (cached: reused for learning and extraction)
-    val annots = Annotate.annotate(pages, gaz)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // 2. training slice = pages having gold annotations; merge gold spans in
+    // 1+2. fused annotate→sentence pass: tokenize + gazetteer + sentence grouping in
+    // ONE narrow stage per slice — a page's annotations are born co-located, so no
+    // url shuffle of the (10× text-sized) annotation set ever happens. The training
+    // slice = pages having gold annotations, with the gold spans (small,
+    // broadcastable by design — the reference trains on the validated sample only)
+    // merged in per page before grouping.
+    val goldByUrl: Map[String, Seq[Annotation]] =
+      goldAnnots.collect().toSeq.groupBy(_.url)
     val goldUrls = goldAnnots.select($"url").distinct()
-    val trainAnnots = annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
-      .unionByName(goldAnnots)
-    val trainSents = Sentences.fromAnnotations(trainAnnots)
+    val trainPages = pages.join(goldUrls, Seq("url"), "left_semi").as[Page]
+    val trainSents = Annotate.annotateSentences(trainPages, gaz, goldByUrl)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. learn patterns on the gold slice: context profiles (profileType 0) AND target
@@ -76,8 +79,9 @@ object KGPipeline {
     val matches = PatternStats.applyPatternsPaired(trainSents, ctxPatterns, tgtPatterns,
       statsCfg)
     // J5: snap ragged human-validated boundaries outward to token extents first
-    val tokenSpans = trainAnnots.toDF().filter($"annotType" === "Token")
-      .select($"url", $"begin", $"end")
+    val tokenSpans = trainSents.flatMap(s =>
+        s.annots.filter(_.annotType == "Token").map(a => (a.url, a.begin, a.end)))
+      .toDF("url", "begin", "end")
     val gold = PatternStats.snapGoldToTokens(
       goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end"), tokenSpans)
     val pairStats = PatternStats.scorePairs(matches, gold, patterns, statsCfg)
@@ -101,7 +105,7 @@ object KGPipeline {
     // both the CC edge derivation and the final canonical output — persist both or
     // every downstream action recomputes the whole extraction (observed 7× wall-clock
     // without these).
-    val allSents = Sentences.fromAnnotations(annots)
+    val allSents = Annotate.annotateSentences(pages, gaz)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val upgraded = finalPatterns.map(p => p -> Extract.toRelationPattern(p))
     val relPatterns = upgraded.collect { case (_, Some(rel)) => rel }
@@ -156,7 +160,7 @@ object KGPipeline {
     // symmetric propagation: validated spans flow both directions of each pair
     val pairs = p0.select(col("id_a").as("url_a"), col("id_b").as("url_b"))
       .unionByName(p0.select(col("id_b").as("url_a"), col("id_a").as("url_b")))
-    val sents = Sentences.fromAnnotations(Annotate.annotate(pages, gaz))
+    val sents = Annotate.annotateSentences(pages, gaz)
     goldAnnots.unionByName(
       graft.learn.Propagate.propagate(sents, goldAnnots, pairs))
   }
@@ -187,15 +191,18 @@ object KGPipeline {
     import spark.implicits._
     val cp = graft.runtime.StageCheckpoint(stageDir)
 
-    val annots = cp.materialize("annotations", fingerprint) {
-      Annotate.annotate(pages, gaz).toDF()
-    }.as[Annotation]
+    // fused annotate→sentence stage (see run()): one narrow pass, no annotation
+    // shuffle; the materialized sentence table is the resume point
+    val allSentsDF = cp.materialize("sentences", fingerprint) {
+      Annotate.annotateSentences(pages, gaz).toDF()
+    }
+    val goldByUrl: Map[String, Seq[Annotation]] =
+      goldAnnots.collect().toSeq.groupBy(_.url)
+    val goldUrls = goldAnnots.select($"url").distinct()
+    def trainSents = Annotate.annotateSentences(
+      pages.join(goldUrls, Seq("url"), "left_semi").as[Page], gaz, goldByUrl)
 
     val learned = cp.materialize("patterns", fingerprint) {
-      val goldUrls = goldAnnots.select($"url").distinct()
-      val trainAnnots = annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
-        .unionByName(goldAnnots)
-      val trainSents = Sentences.fromAnnotations(trainAnnots)
       GenMSA.learn(trainSents, "gold", msaCfg).toDF()
     }.as[graft.model.Pattern].collect().toSeq
     val ctxPatterns = GenMSA.subsumptionFilter(
@@ -204,15 +211,12 @@ object KGPipeline {
 
     // per-pair gate table (the reference's `final` read, per-pair + A3 active check)
     val allowedPairs = cp.materialize("pair_stats", fingerprint) {
-      val goldUrls = goldAnnots.select($"url").distinct()
-      val trainAnnots = annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
-        .unionByName(goldAnnots)
-      val trainSents = Sentences.fromAnnotations(trainAnnots)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val matches = PatternStats.applyPatternsPaired(trainSents, ctxPatterns,
+      val ts = trainSents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matches = PatternStats.applyPatternsPaired(ts, ctxPatterns,
         tgtPatterns, statsCfg)
-      val tokenSpans = trainAnnots.toDF().filter($"annotType" === "Token")
-        .select($"url", $"begin", $"end")
+      val tokenSpans = ts.flatMap(s =>
+          s.annots.filter(_.annotType == "Token").map(a => (a.url, a.begin, a.end)))
+        .toDF("url", "begin", "end")
       val gold = PatternStats.snapGoldToTokens(
         goldAnnots.toDF().select($"url", $"annotType", $"begin", $"end"), tokenSpans)
       val pairStats = PatternStats.scorePairs(matches, gold,
@@ -222,7 +226,7 @@ object KGPipeline {
         .join(PatternStats.activeProfiles(pairStats, statsCfg),
           Seq("profileId"), "left_semi")
         .select($"profileId", $"targetId", $"prec")
-      trainSents.unpersist()
+      ts.unpersist()
       out
     }.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
 
@@ -233,17 +237,13 @@ object KGPipeline {
     }
 
     val rawTriples = cp.materialize("raw_triples", fingerprint) {
-      val allSents = Sentences.fromAnnotations(annots)
+      val allSents = allSentsDF.as[graft.model.SentenceAnnots]
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val upgraded = finalPatterns.map(p => p -> Extract.toRelationPattern(p))
       val relPatterns = upgraded.collect { case (_, Some(rel)) => rel }
       val plainPatterns = upgraded.collect { case (p, None) => p }
       val relTriples = Extract.relationTriplesPaired(allSents, relPatterns, tgtPatterns,
         allowedPairs, statsCfg.matcher)
-      val goldUrls = goldAnnots.select($"url").distinct()
-      val trainSents = Sentences.fromAnnotations(
-        annots.join(goldUrls, Seq("url"), "left_semi").as[Annotation]
-          .unionByName(goldAnnots))
       val priorRows = graft.learn.ValueProbs.compute(trainSents, goldAnnots.toDF(),
         priorsCfg).collect()
       val priorVeto = priorRows.map(r =>

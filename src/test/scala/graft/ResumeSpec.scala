@@ -38,7 +38,7 @@ class ResumeSpec extends AnyFunSuite with SparkTest {
     val total = spark.read.parquet(outDir).count()
     assert(total > 0 && cps.count() > 0)
 
-    // simulate a crash AFTER annotations+patterns but before triples: delete the
+    // simulate a crash AFTER sentences+patterns but before triples: delete the
     // raw_triples stage and the final output, keep earlier stage checkpoints
     def rmrf(p: String): Unit = {
       val f = new java.io.File(p)
@@ -48,12 +48,12 @@ class ResumeSpec extends AnyFunSuite with SparkTest {
     rmrf(s"$stageDir/raw_triples"); rmrf(s"$stageDir/raw_triples__lineage")
     rmrf(outDir); rmrf(outDir + "_checkpoints")
 
-    val annotsMtime = new java.io.File(s"$stageDir/annotations").lastModified()
+    val annotsMtime = new java.io.File(s"$stageDir/sentences").lastModified()
     val resumed = graft.pipeline.KGPipeline.runCheckpointed(
       pages, gold, CorpusGen.gazetteer, stageDir, fp, outDir)
     assert(spark.read.parquet(outDir).count() === total,
       "resumed run must reproduce the identical output")
-    assert(new java.io.File(s"$stageDir/annotations").lastModified() === annotsMtime,
-      "annotations stage was recomputed on resume")
+    assert(new java.io.File(s"$stageDir/sentences").lastModified() === annotsMtime,
+      "sentences stage was recomputed on resume")
   }
 }

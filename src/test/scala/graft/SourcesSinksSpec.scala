@@ -89,6 +89,14 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     assert(annots.filter(_.annotType == "Token").forall(_.value.length <= 500))
   }
 
+  test("resumable materialize on an EMPTY triple set returns an empty checkpoint table") {
+    import spark.implicits._
+    val path = tmpDir() + "/empty_triples"
+    val cps = Materialize.writeResumable(spark.emptyDataset[Triple], path, 4)
+    assert(cps.count() === 0) // no PATH_NOT_FOUND; schema present
+    assert(cps.columns.contains("bucket") && cps.columns.contains("output_hash"))
+  }
+
   test("resumable materialize: only pending buckets are written on resume") {
     import spark.implicits._
     val path = tmpDir() + "/triples"

@@ -236,8 +236,55 @@ object Extract {
    * Resolve subjects sentence-locally and emit raw triples. Entity Lookups (majorType
    * == subjectMajorType) that precede the mention in the same sentence provide the
    * subject; otherwise the url host does.
+   *
+   * Scale shape: one cogroup of mentions and subject spans on url — ONLY the (small)
+   * mention and subject rows shuffle, and the per-page argmin runs in memory. The
+   * equivalent join+window formulation ([[triplesViaJoin]], parity-tested) shuffles
+   * the mentions × subjects PRODUCT into the window — on a mega-page (thousands of
+   * entities × mentions) that product is the blow-up this shape avoids; here the
+   * quadratic is bounded per sentence, the reference's own bound.
    */
   def triples(sentences: Dataset[SentenceAnnots], ms: Dataset[Mention],
+      subjectMajorType: String = "entity")(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val subjects = sentences.flatMap { s =>
+      s.annots.filter(a => a.annotType == "Lookup" &&
+          a.features.getOrElse("majorType", "") == subjectMajorType)
+        .map(a => (s.url, s.sentBegin, s.sentEnd, a.begin, a.end, a.value))
+    }
+    ms.groupByKey(_.url).cogroup(subjects.groupByKey(_._1)) { (url, mIt, sIt) =>
+      val subs = sIt.toVector
+      val host = {
+        val m = "^[a-z]+://([^/]+)".r.findFirstMatchIn(url)
+        m.map(_.group(1)).getOrElse("")
+      }
+      mIt.map { m =>
+        // candidates in the mention's sentence, excluding the mention's own span;
+        // nearest preceding wins, else first following (penalized), else host —
+        // identical ordering to the window formulation: min (dist, ab)
+        val cands = subs.iterator.filter { case (_, sb, se, ab, ae, _) =>
+          m.begin >= sb && m.begin < se && !(ab == m.begin && ae == m.end)
+        }
+        var bestDist = Long.MaxValue
+        var bestAb = Int.MaxValue
+        var bestVal: String = null
+        cands.foreach { case (_, _, _, ab, ae, v) =>
+          val dist: Long = if (ae <= m.begin) (m.begin - ae).toLong
+                           else 1000000L + (ab - m.begin)
+          if (dist < bestDist || (dist == bestDist && ab < bestAb)) {
+            bestDist = dist; bestAb = ab; bestVal = v
+          }
+        }
+        Triple(if (bestVal != null) bestVal else host, m.annotType, m.value,
+          url, m.begin, m.end, m.profileId, m.score)
+      }
+    }
+  }
+
+  /** Join+window formulation of [[triples]] — kept as the declarative parity twin
+    * (cross-checked in RelationSpec/e2e); shuffles the mention×subject product. */
+  def triplesViaJoin(sentences: Dataset[SentenceAnnots], ms: Dataset[Mention],
       subjectMajorType: String = "entity")(
       implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._

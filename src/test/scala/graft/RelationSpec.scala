@@ -21,6 +21,28 @@ class RelationSpec extends AnyFunSuite with SparkTest {
   private def relPat(toks: String*): Pattern =
     Pattern(1L, toks.toVector, "founded_rel", 0, "g", 1.0, 0, 0, 1)
 
+  test("cogroup subject resolution == join+window formulation on a real corpus") {
+    import spark.implicits._
+    val pages = spark.createDataset(
+      graft.testgen.CorpusGen.pages(40).map(_.page))
+    val sents = graft.nlp.Annotate.annotateSentences(pages,
+      graft.testgen.CorpusGen.gazetteer)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // synthetic mentions: every Number annotation span becomes a mention, PLUS one
+    // mention on a url with no subjects at all (host fallback path)
+    val mentions = sents.flatMap { s =>
+      s.annots.filter(_.annotType == "Number").map(a =>
+        graft.model.Mention(s.url, "num", a.begin, a.end, a.value, 1L, 1.0))
+    }.unionByName(spark.createDataset(Seq(
+      graft.model.Mention("https://nohost.example.org/p", "num", 0, 2, "42", 1L, 1.0))))
+    def canon(t: graft.model.Triple) = (t.subj, t.pred, t.obj, t.url, t.begin, t.end)
+    val local = Extract.triples(sents, mentions).collect().map(canon).sorted
+    val joined = Extract.triplesViaJoin(sents, mentions).collect().map(canon).sorted
+    assert(local.length > 40, s"too few triples: ${local.length}")
+    assert(local.toSeq === joined.toSeq)
+    sents.unpersist()
+  }
+
   test("subject slot binds the entity span, target the object span") {
     val text = "Acme Corp was founded in 1987 today"
     val g = gridOf(text)

@@ -26,8 +26,8 @@ import graft.sink.Materialize
  *         ─ link + CC: blocking-join edges, large-star/small-star canonicalization
  *         ─ materialize: dedup, subject-bucketed partitioned write + checkpoints
  *
- * Total shuffle budget on the big (all-pages) path: one window shuffle for subject
- * resolution, one groupBy for dedup — the
+ * Total shuffle budget on the big (all-pages) path: one cogroup of the (small)
+ * mention/subject rows for subject resolution, one groupBy for dedup — the
  * learning path only ever touches the validated slice (exactly the reference's design:
  * learning on status-1 docs, extraction on status-0, SURVEY.md §7.4.2).
  */

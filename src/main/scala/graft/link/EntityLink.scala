@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
  */
 object EntityLink {
 
-  /** Normalize a surface form for linking: lowercase, strip non-alnum to single spaces. */
+  /** Normalize a surface form for linking: lowercase, strip non-alnum to single spaces.
+    * (Scala twin of the codegen column expression below — used by tests/callers.) */
   val normalizeForm: String => String = s =>
     s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
 
@@ -30,10 +31,11 @@ object EntityLink {
    */
   def candidateEdges(forms: DataFrame, minJaccard: Double = 0.5,
       maxBlockSize: Int = 1000)(implicit spark: SparkSession): DataFrame = {
-    val normUdf = udf(normalizeForm)
     val normed = forms.select(col("form"))
       .distinct()
-      .withColumn("norm", normUdf(col("form")))
+      // builtin (codegen) normalization — this runs over every distinct subject form
+      // at canonicalization time, so no Scala UDF in the path
+      .withColumn("norm", trim(regexp_replace(lower(col("form")), "[^a-z0-9]+", " ")))
       .filter(length(col("norm")) > 0)
       .withColumn("toks", array_distinct(split(col("norm"), " ")))
       .withColumn("block",

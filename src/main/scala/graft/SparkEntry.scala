@@ -249,6 +249,13 @@ object SparkEntry {
         Seq("spark", "join", "window", "filter", "table"))
     }),
 
+    // ---- eval scorer: token + entity P/R/F1 vs derived gold ----
+    "q32_eval_scores" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      DocExtract.evalScores(t(s, d, "documents"), "doc_id", "text", "merge",
+        Seq("spark", "join", "window", "filter", "table"))
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -647,6 +654,36 @@ object SparkEntry {
                              THEN floor(g.gold_cnt * 10000.0 / o.total_cnt)
                            ELSE -1 END AS BIGINT) AS prior_bp
           FROM gold g JOIN occ o USING (value)""",
+
+    "q32_eval_scores" ->
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          pos AS (SELECT doc_id, unnest(tk) AS tok,
+                         generate_subscripts(tk, 1) AS i FROM toks),
+          nxt AS (SELECT b.tok
+                  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                  WHERE a.tok = 'merge'),
+          c AS (SELECT
+                  sum(CASE WHEN len(tok) > 4 THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN tok IN ('spark','join','window','filter','table')
+                           THEN 1 ELSE 0 END) AS ng,
+                  sum(CASE WHEN len(tok) > 4 AND tok IN
+                           ('spark','join','window','filter','table')
+                           THEN 1 ELSE 0 END) AS tp
+                FROM nxt),
+          r AS (SELECT CAST(tp AS BIGINT) AS tp, CAST(np - tp AS BIGINT) AS fp,
+                       CAST(ng - tp AS BIGINT) AS fn FROM c)
+          SELECT t.annot_type, l.level, r.tp, r.fp, r.fn,
+                 CAST(CASE WHEN r.tp + r.fp > 0
+                           THEN floor(r.tp * 10000.0 / (r.tp + r.fp)) ELSE 0 END
+                      AS BIGINT) AS prec_bp,
+                 CAST(CASE WHEN r.tp + r.fn > 0
+                           THEN floor(r.tp * 10000.0 / (r.tp + r.fn)) ELSE 0 END
+                      AS BIGINT) AS rec_bp,
+                 CAST(CASE WHEN 2 * r.tp + r.fp + r.fn > 0
+                           THEN floor(2 * r.tp * 10000.0 / (2 * r.tp + r.fp + r.fn))
+                           ELSE 0 END AS BIGINT) AS f1_bp
+          FROM r, (VALUES ('after_merge'), ('ALL')) t(annot_type),
+               (VALUES ('entity'), ('token')) l(level)""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

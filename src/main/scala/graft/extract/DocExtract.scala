@@ -186,6 +186,45 @@ object DocExtract {
     ValueProbs.compute(sents, gold, ValueProbs.Config())
   }
 
+  /**
+   * Eval-scorer entry point with a SQL twin: predicted = the token after `trigger`
+   * when longer than 4 chars; gold = the token after `trigger` when it is one of
+   * `kws`. Predictions thus contain both false positives (long non-keywords) and
+   * false negatives (short keywords like "join"), exercising every counter of
+   * [[graft.learn.Eval.score]]. Returns its full (annot_type × level) table.
+   */
+  def evalScores(docs: DataFrame, idCol: String, textCol: String, trigger: String,
+      kws: Seq[String])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pred = s"after_$trigger"
+    val gazB = spark.sparkContext.broadcast(
+      Gazetteer.build(kws.map(w => GazEntry(w, "kw", "kw"))))
+    val sents = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val g = gazB.value
+        it.flatMap { case (id, text) =>
+          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            graft.mention.Sentences.group(s"synth://doc/$id", annots)
+          }
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = sents.flatMap(s =>
+        s.annots.filter(_.annotType == "Token").map(a => (a.url, a.begin, a.end)))
+      .toDF("url", "begin", "end")
+    val triggerLabel = s":token|string|${trigger.toLowerCase}"
+    def spansWhere(cond: graft.align.GridCol => Boolean) = sents.flatMap { s =>
+      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+      grid.cols.sliding(2).collect {
+        case Seq(a, b) if a.has(triggerLabel) && cond(b) => (s.url, pred, b.begin, b.end)
+      }
+    }.toDF("url", "annotType", "begin", "end")
+    val predicted = spansWhere(c => c.text.length > 4)
+    val gold = spansWhere(_.has(":lookup|majortype|kw"))
+    graft.learn.Eval.score(predicted, gold, tokens, tolerance = 0)
+  }
+
   /** A hand-seeded single-anchor pattern: ":token|string|<trigger>" followed by a
     * one-token `:target` (minimal-span rule ⇒ exactly the next token). */
   def triggerPattern(trigger: String): Pattern =

@@ -84,4 +84,61 @@ class MatcherParitySpec extends Properties("MatcherParity") {
         PatternMatcher.compile(p).elems, prm.maxGapSpan, prm.maxTargetLen)
       (got == want) :| s"got=$got want=$want pattern=$toks"
     }
+
+  /** Independent target-coverage check (BFS over (elemIdx, colIdx) states — a
+    * different implementation style from targetMatches' recursion). */
+  private def naiveCovers(grid: Grid, from: Int, until: Int, elems: Vector[String],
+      maxGap: Int): Boolean = {
+    if (from >= until) return false
+    var states = Set((0, from))
+    var seen = states
+    while (states.nonEmpty) {
+      states = states.flatMap { case (k, ci) =>
+        if (k == elems.length) Set.empty[(Int, Int)]
+        else elems(k) match {
+          case Grid.Gap => (1 to maxGap).map(sk => (k + 1, ci + sk))
+            .filter(_._2 <= until).toSet
+          case l if ci < until && grid.cols(ci).has(l) => Set((k + 1, ci + 1))
+          case _ => Set.empty[(Int, Int)]
+        }
+      } -- seen
+      seen ++= states
+    }
+    seen.contains((elems.length, until))
+  }
+
+  private val targetPatGen: Gen[Vector[String]] = for {
+    n <- Gen.choose(1, 3)
+    ts <- Gen.listOfN(n, Gen.oneOf(labelPool :+ Grid.Gap))
+  } yield ts.toVector
+
+  // NOTE: context patterns need ≥1 literal label — the inverted index deliberately
+  // never yields literal-free patterns as candidates (a bare ":target" would match
+  // every token of every sentence; the reference's index has the same property since
+  // a profile with no indexable tokens cannot be posted).
+  private val ctxPatGen: Gen[Vector[String]] =
+    patternGen.suchThat(ts => ts.exists(t => t != Grid.Gap && t != Grid.Target))
+
+  property("pair matching == raw spans filtered by independent target coverage") =
+    forAll(gridGen, ctxPatGen, targetPatGen) {
+      (grid: Grid, ctxToks: Vector[String], tgtToks: Vector[String]) =>
+        val prm = PatternMatcher.Params(maxGapSpan = 2, maxTargetLen = 3)
+        val ctx = Pattern(1L, ctxToks, "T", 0, "g", 1.0, 0, 0, 1)
+        val tgt = Pattern(2L, tgtToks, "T", 1, "g", 1.0, 0, 0, 1)
+        val got = PatternMatcher.matchPairs(grid, PatternMatcher.buildIndex(Seq(ctx)),
+            Map("T" -> IndexedSeq(PatternMatcher.compile(tgt))), prm,
+            suppressOverlaps = false)
+          .map(h => (h.targetBegin, h.targetEnd)).toSet
+        val cols = grid.cols
+        val want = NaiveMatcher.spans(grid, PatternMatcher.compile(ctx).elems,
+            prm.maxGapSpan, prm.maxTargetLen)
+          .filter { case (tb, te) =>
+            val from = cols.indexWhere(c => c.begin == tb && c.end > c.begin)
+            val until = cols.lastIndexWhere(c => c.end == te && c.end > c.begin) + 1
+            from >= 0 && until > from &&
+              naiveCovers(grid, from, until, PatternMatcher.compile(tgt).elems,
+                prm.maxGapSpan)
+          }
+        (got == want) :| s"got=$got want=$want ctx=$ctxToks tgt=$tgtToks"
+    }
 }

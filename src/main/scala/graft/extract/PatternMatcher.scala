@@ -48,7 +48,10 @@ object PatternMatcher {
   }
 
   /** Counting inverted index: label → pattern ordinals; candidate when every literal
-    * label of the pattern occurs in the grid. */
+    * label of the pattern occurs in the grid. CONTRACT: literal-free patterns (bare
+    * `:target`/`:gap` sequences) are never candidates — they would match every token
+    * of every sentence; the reference's index shares this property (a profile with no
+    * indexable tokens cannot be posted). Property-tested in MatcherParitySpec. */
   final class Index(val compiled: IndexedSeq[Compiled]) extends Serializable {
     private val postings: Map[String, Array[Int]] = {
       val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]

@@ -114,7 +114,11 @@ object Bench {
       val r4N0 = childRun(16, reps = 2)
       (rN0, r4N0, (rN0.sec / r4N0.sec) / 4.0)
     }
-    val (rN, r4N, eff) = pairs.maxBy(_._3)
+    // headline = the MEDIAN pair's efficiency: max-of-pairs is upward-biased (any
+    // noise that slows only the c4 run inflates eff and max selects exactly those
+    // samples); the median is the unbiased order statistic. All pairs stay visible
+    // in eff_pairs for spread.
+    val (rN, r4N, eff) = pairs.sortBy(_._3).apply(pairs.size / 2)
     val rFull = childRun(32, reps = 2)
     val (tN, t4N) = (rN.sec, r4N.sec)
     val effPairs = pairs.map(p => f"${p._3}%.3f").mkString("[", ",", "]")

@@ -200,14 +200,22 @@ object Extract {
 
   /** Deterministic mention dedup on (url, annotType, begin, end) — required before
     * mergeAdjacent when pattern and dictionary mentions can land on the same span
-    * (two identical spans in one merge group would duplicate the value text). */
+    * (two identical spans in one merge group would duplicate the value text).
+    * The winning row is picked ATOMICALLY (max_by over one ordered struct), never by
+    * independent per-column aggregates: a span matched by both a pattern and the
+    * dictionary pass (profileId −2) must keep ONE mention's (score, profileId, value)
+    * intact — independent min/max would emit a chimera (e.g. the dictionary's id with
+    * the pattern's precision), misattributing evidence downstream. */
   def dedupMentions(ms: Dataset[Mention])(implicit spark: SparkSession): Dataset[Mention] = {
     import spark.implicits._
     ms.toDF()
       .groupBy($"url", $"annotType", $"begin", $"end")
-      .agg(min($"value").as("value"), min($"profileId").as("profileId"),
-        max($"score").as("score"))
-      .select($"url", $"annotType", $"begin", $"end", $"value", $"profileId", $"score")
+      // order: best score first; ties broken by (lowest profileId, value) so the
+      // choice is identical at any parallelism
+      .agg(max_by(struct($"score", $"profileId", $"value"),
+        struct($"score", -$"profileId", $"value")).as("w"))
+      .select($"url", $"annotType", $"begin", $"end", $"w.value".as("value"),
+        $"w.profileId".as("profileId"), $"w.score".as("score"))
       .as[Mention]
   }
 

@@ -64,25 +64,20 @@ object Eval {
           col("t_begin"), col("t_end")).distinct()
     val pu = tokenUnits(pred, "url", "annotType", "begin", "end")
     val gu = tokenUnits(gld, "g_url", "g_type", "g_begin", "g_end")
-    val puHit = pu.join(gu.withColumnRenamed("url", "u2"),
-        col("url") === col("u2") && pu("annotType") === gu("annotType") &&
-          pu("t_begin") === gu("t_begin") && pu("t_end") === gu("t_end"), "left_semi")
-      .withColumn("hit", lit(1))
-      .unionByName(pu.join(gu.withColumnRenamed("url", "u2"),
-        col("url") === col("u2") && pu("annotType") === gu("annotType") &&
-          pu("t_begin") === gu("t_begin") && pu("t_end") === gu("t_end"), "left_anti")
-        .withColumn("hit", lit(0)))
-    val guHit = gu.join(pu.withColumnRenamed("url", "u2"),
-        col("url") === col("u2") && gu("annotType") === pu("annotType") &&
-          gu("t_begin") === pu("t_begin") && gu("t_end") === pu("t_end"), "left_semi")
-      .withColumn("hit", lit(1))
-      .unionByName(gu.join(pu.withColumnRenamed("url", "u2"),
-        col("url") === col("u2") && gu("annotType") === pu("annotType") &&
-          gu("t_begin") === pu("t_begin") && gu("t_end") === pu("t_end"), "left_anti")
-        .withColumn("hit", lit(0)))
-    val token = statsOf(
-      puHit.select(col("annotType"), col("hit")),
-      guHit.select(col("annotType"), col("hit")), "token")
+    // pu and gu share lineage (both derive from `toks`), so join conditions built from
+    // their Column handles would be ambiguous self-join predicates (Spark logs
+    // "trivially true equals predicate" and only dataset-id disambiguation rescues the
+    // plan). Renaming one side FIRST makes every predicate reference distinct
+    // attributes by construction. Both sides are distinct on all four columns, so the
+    // left join matches at most one row — no fan-out.
+    def unitHits(a: DataFrame, b: DataFrame): DataFrame = {
+      val b2 = b.toDF("u2", "ty2", "b2", "e2")
+      a.join(b2, col("url") === col("u2") && col("annotType") === col("ty2") &&
+          col("t_begin") === col("b2") && col("t_end") === col("e2"), "left")
+        .select(col("annotType"),
+          when(col("u2").isNotNull, 1).otherwise(0).as("hit"))
+    }
+    val token = statsOf(unitHits(pu, gu), unitHits(gu, pu), "token")
 
     entity.unionByName(token)
   }

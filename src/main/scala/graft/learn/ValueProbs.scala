@@ -26,7 +26,12 @@ object ValueProbs {
       minGlobalPrec: Double = 0.7,
       // values with prior ≥ this enter the dictionary single-entity pass
       // (ref addSingleEntities, AutoAnnotateNER.java:2294-2460)
-      dictThreshold: Double = 0.9)
+      dictThreshold: Double = 0.9,
+      // hard bound on the gold value vocabulary pulled to the driver (the broadcast
+      // automaton must fit in executor memory anyway): top-N by gold count, ties by
+      // value. The validated slice keeps this small by design; the cap makes the
+      // bound EXPLICIT in the API contract. Overflow is logged, never silent.
+      maxVocabulary: Int = 100000)
 
   /**
    * Compute the prior table. `gold` needs (annotType, value) columns.
@@ -39,7 +44,17 @@ object ValueProbs {
     val goldCnt = gold.select(col("annotType").as("annot_type"),
         lower(col("value")).as("value"))
       .groupBy("annot_type", "value").agg(count(lit(1)).as("gold_cnt"))
-    val values = goldCnt.select("value").distinct().as[String].collect().sorted.toIndexedSeq
+    // capped driver funnel: the top-maxVocabulary values by gold count (ties by value
+    // for determinism), then re-sorted lexically for the automaton build
+    val topVals = goldCnt.groupBy("value").agg(sum("gold_cnt").as("g"))
+      .orderBy(col("g").desc, col("value"))
+      .limit(cfg.maxVocabulary + 1)
+      .select("value").as[String].collect()
+    if (topVals.length > cfg.maxVocabulary)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ValueProbs: gold vocabulary exceeds maxVocabulary=${cfg.maxVocabulary}; " +
+          "lowest-gold-count values are DROPPED from the prior table (no silent cap)")
+    val values = topVals.take(cfg.maxVocabulary).sorted.toIndexedSeq
     if (values.isEmpty) return goldCnt.withColumn("total_cnt", lit(0L))
       .withColumn("prior_bp", lit(0L))
     val acB = spark.sparkContext.broadcast(
@@ -50,11 +65,17 @@ object ValueProbs {
           .map(_.value.toLowerCase).toIndexedSeq
         acB.value.findAll(stream).map { case (_, _, dictId) => valuesB.value(dictId) }
       }.groupByKey(identity).count().toDF("value", "total_cnt")
-    goldCnt.join(occ, Seq("value"), "left")
-      .withColumn("total_cnt",
-        greatest(coalesce(col("total_cnt"), lit(0L)), col("gold_cnt")))
+    val inVocab = goldCnt.filter(col("value").isInCollection(values))
+    inVocab.join(occ, Seq("value"), "left")
+      .withColumn("occ_cnt", coalesce(col("total_cnt"), lit(0L)))
+      .withColumn("total_cnt", greatest(col("occ_cnt"), col("gold_cnt")))
       .withColumn("prior_bp",
-        when(col("total_cnt") < cfg.minGlobalCount, lit(0L))
+        // an occurrence count BELOW the gold count means the AC pass failed to find
+        // the value in the corpus stream (e.g. tokenization mismatch on punctuated
+        // multi-word values) — the measurement is broken for this value, so emit the
+        // NEUTRAL prior 0, never a minted trusted/dictionary-grade 1.0
+        when(col("occ_cnt") < col("gold_cnt"), lit(0L))
+          .when(col("total_cnt") < cfg.minGlobalCount, lit(0L))
           .when(col("gold_cnt") * 10000L / col("total_cnt") >= cfg.minGlobalPrec * 10000,
             floor(col("gold_cnt") * 10000L / col("total_cnt")).cast("long"))
           .otherwise(lit(-1L)))

@@ -84,21 +84,32 @@ object Materialize {
     }
     bucketed.unpersist()
     // first run over an EMPTY triple set: nothing pending, checkpoint dir never
-    // created — return an empty checkpoint table instead of PATH_NOT_FOUND
-    try spark.read.parquet(path + "_checkpoints")
-    catch {
-      case _: Throwable =>
-        import spark.implicits._
-        Seq.empty[(Int, Long, Long, String, java.sql.Timestamp)]
-          .toDF("bucket", "rows_out", "output_hash", "stage", "completed_at")
+    // created — return an empty checkpoint table instead of PATH_NOT_FOUND. Only that
+    // legitimate case is absorbed: a transient FS error or corrupt checkpoint file
+    // must PROPAGATE, not masquerade as "nothing completed" and trigger silent rewrites.
+    if (checkpointExists(path + "_checkpoints"))
+      spark.read.parquet(path + "_checkpoints")
+    else {
+      import spark.implicits._
+      Seq.empty[(Int, Long, Long, String, java.sql.Timestamp)]
+        .toDF("bucket", "rows_out", "output_hash", "stage", "completed_at")
     }
+  }
+
+  /** Does the checkpoint table exist on disk? An explicit existence probe — genuine
+    * read failures on an existing table are NOT caught anywhere in this sink. */
+  private def checkpointExists(checkpointPath: String)(
+      implicit spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(checkpointPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Resume: which buckets still need writing given an existing checkpoint table. */
   def pendingBuckets(all: DataFrame, checkpointPath: String)(
       implicit spark: SparkSession): DataFrame = {
-    val done = try spark.read.parquet(checkpointPath).select(col("bucket"))
-      catch { case _: Throwable => spark.emptyDataFrame.withColumn("bucket", lit(-1)) }
+    val done = if (checkpointExists(checkpointPath))
+      spark.read.parquet(checkpointPath).select(col("bucket"))
+    else all.sparkSession.range(0).select(col("id").cast("int").as("bucket"))
     all.select(col("bucket")).distinct().join(done, Seq("bucket"), "left_anti")
   }
 }

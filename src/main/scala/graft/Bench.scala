@@ -49,6 +49,7 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    graft.extract.DocExtract.clearSentenceCache()
     spark.stop()
 
     // battery-only mode for local iteration (driver runs the full mode per round)

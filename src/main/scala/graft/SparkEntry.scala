@@ -31,6 +31,13 @@ object SparkEntry {
   /** round(x*100) as BIGINT — exact integer cents, engine-portable. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Keyword set shared by the q30–q32 statistics fixtures. */
+  private val statsKws = Seq("spark", "join", "window", "filter", "table")
+
+  /** Sentence-cache key for the shared q30–q32 annotate pass. */
+  private def statsCacheKey(dir: String): String =
+    dir + "|merge|" + statsKws.mkString(",")
+
   /** Flagship: pattern-based triple extraction over the sf0.001 documents corpus via
     * the full normalize → tokenize → sentence-grid → broadcast-matcher path. */
   def entry(spark: SparkSession): DataFrame = {
@@ -236,24 +243,27 @@ object SparkEntry {
     }),
 
     // ---- pair-model statistics: per-(context, target) tp/fp/precision ----
+    // The three statistics queries share ONE cached annotate→sentence pass (cacheKey
+    // = corpus dir + keyword set); Verify/Bench clear the cache when their battery
+    // ends, so nothing persisted outlives the run.
     "q30_pair_stats" -> ((s, d) => {
       implicit val sp: SparkSession = s
       DocExtract.pairStats(t(s, d, "documents"), "doc_id", "text", "merge",
-        Seq("spark", "join", "window", "filter", "table"))
+        statsKws, cacheKey = Some(statsCacheKey(d)))
     }),
 
     // ---- value-probability priors: the {prob, −1, 0} gate ladder ----
     "q31_value_priors" -> ((s, d) => {
       implicit val sp: SparkSession = s
       DocExtract.valuePriors(t(s, d, "documents"), "doc_id", "text", "merge",
-        Seq("spark", "join", "window", "filter", "table"))
+        statsKws, cacheKey = Some(statsCacheKey(d)))
     }),
 
     // ---- eval scorer: token + entity P/R/F1 vs derived gold ----
     "q32_eval_scores" -> ((s, d) => {
       implicit val sp: SparkSession = s
       DocExtract.evalScores(t(s, d, "documents"), "doc_id", "text", "merge",
-        Seq("spark", "join", "window", "filter", "table"))
+        statsKws, cacheKey = Some(statsCacheKey(d)))
     }),
 
     // ---- canonicalization: connected components over near-dup edges ----
@@ -655,35 +665,57 @@ object SparkEntry {
                            ELSE -1 END AS BIGINT) AS prior_bp
           FROM gold g JOIN occ o USING (value)""",
 
+    // Gold spans extend over a following keyword token (multi-token gold), so
+    // entity-level (exact-span) and token-level (per-token-unit) counts DIVERGE:
+    // a single-token prediction against a two-token gold span is an entity miss
+    // but a token-unit hit.
     "q32_eval_scores" ->
       s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
           pos AS (SELECT doc_id, unnest(tk) AS tok,
                          generate_subscripts(tk, 1) AS i FROM toks),
-          nxt AS (SELECT b.tok
-                  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-                  WHERE a.tok = 'merge'),
-          c AS (SELECT
-                  sum(CASE WHEN len(tok) > 4 THEN 1 ELSE 0 END) AS np,
-                  sum(CASE WHEN tok IN ('spark','join','window','filter','table')
-                           THEN 1 ELSE 0 END) AS ng,
-                  sum(CASE WHEN len(tok) > 4 AND tok IN
-                           ('spark','join','window','filter','table')
-                           THEN 1 ELSE 0 END) AS tp
-                FROM nxt),
-          r AS (SELECT CAST(tp AS BIGINT) AS tp, CAST(np - tp AS BIGINT) AS fp,
-                       CAST(ng - tp AS BIGINT) AS fn FROM c)
-          SELECT t.annot_type, l.level, r.tp, r.fp, r.fn,
-                 CAST(CASE WHEN r.tp + r.fp > 0
-                           THEN floor(r.tp * 10000.0 / (r.tp + r.fp)) ELSE 0 END
+          trig AS (SELECT b.doc_id, b.i, b.tok AS t1, c.tok AS t2
+                   FROM pos a
+                   JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                   LEFT JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                   WHERE a.tok = 'merge'),
+          pspan AS (SELECT DISTINCT doc_id, i AS b, i AS e FROM trig
+                    WHERE len(t1) > 4),
+          gspan AS (SELECT DISTINCT doc_id, i AS b,
+                      CASE WHEN t2 IN ('spark','join','window','filter','table')
+                           THEN i + 1 ELSE i END AS e
+                    FROM trig
+                    WHERE t1 IN ('spark','join','window','filter','table')),
+          ehit AS (SELECT count(*) AS tp FROM
+                     (SELECT * FROM pspan INTERSECT SELECT * FROM gspan)),
+          punit AS (SELECT DISTINCT doc_id, b AS u FROM pspan),
+          gunit AS (SELECT DISTINCT doc_id, u FROM
+                      (SELECT doc_id, b AS u FROM gspan
+                       UNION ALL SELECT doc_id, e FROM gspan)),
+          thit AS (SELECT count(*) AS tp FROM
+                     (SELECT * FROM punit INTERSECT SELECT * FROM gunit)),
+          lv AS (SELECT 'entity' AS level, e.tp,
+                        (SELECT count(*) FROM pspan) - e.tp AS fp,
+                        (SELECT count(*) FROM gspan) - e.tp AS fn
+                 FROM ehit e
+                 UNION ALL
+                 SELECT 'token', t.tp,
+                        (SELECT count(*) FROM punit) - t.tp,
+                        (SELECT count(*) FROM gunit) - t.tp
+                 FROM thit t)
+          SELECT ty.annot_type, lv.level,
+                 CAST(lv.tp AS BIGINT) AS tp, CAST(lv.fp AS BIGINT) AS fp,
+                 CAST(lv.fn AS BIGINT) AS fn,
+                 CAST(CASE WHEN lv.tp + lv.fp > 0
+                           THEN floor(lv.tp * 10000.0 / (lv.tp + lv.fp)) ELSE 0 END
                       AS BIGINT) AS prec_bp,
-                 CAST(CASE WHEN r.tp + r.fn > 0
-                           THEN floor(r.tp * 10000.0 / (r.tp + r.fn)) ELSE 0 END
+                 CAST(CASE WHEN lv.tp + lv.fn > 0
+                           THEN floor(lv.tp * 10000.0 / (lv.tp + lv.fn)) ELSE 0 END
                       AS BIGINT) AS rec_bp,
-                 CAST(CASE WHEN 2 * r.tp + r.fp + r.fn > 0
-                           THEN floor(2 * r.tp * 10000.0 / (2 * r.tp + r.fp + r.fn))
+                 CAST(CASE WHEN 2 * lv.tp + lv.fp + lv.fn > 0
+                           THEN floor(2 * lv.tp * 10000.0 /
+                                      (2 * lv.tp + lv.fp + lv.fn))
                            ELSE 0 END AS BIGINT) AS f1_bp
-          FROM r, (VALUES ('after_merge'), ('ALL')) t(annot_type),
-               (VALUES ('entity'), ('token')) l(level)""",
+          FROM lv, (VALUES ('after_merge'), ('ALL')) ty(annot_type)""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

@@ -34,6 +34,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the q30–q32 battery shares one cached sentence pass — release it so no
+    // persisted dataset outlives the run
+    graft.extract.DocExtract.clearSentenceCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

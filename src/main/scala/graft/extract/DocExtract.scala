@@ -1,9 +1,9 @@
 package graft.extract
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.align.Grid
-import graft.model.Pattern
+import graft.model.{Pattern, SentenceAnnots}
 import graft.nlp.{AhoCorasick, Annotate, GazEntry, Gazetteer}
 
 /**
@@ -101,6 +101,71 @@ object DocExtract {
   }
 
   /**
+   * Shared annotate→sentence pass for the documents-table statistics entry points:
+   * normalize → tokenize → keyword gazetteer → sentence grouping, ONE narrow stage
+   * (no shuffle). [[pairStats]]/[[valuePriors]]/[[evalScores]] all consume exactly
+   * this sentence set; building it once (and optionally caching it across the three)
+   * replaces the three independent annotate passes each entry point used to run.
+   */
+  def sentences(docs: DataFrame, idCol: String, textCol: String, kws: Seq[String])(
+      implicit spark: SparkSession): Dataset[SentenceAnnots] = {
+    import spark.implicits._
+    val gazB = spark.sparkContext.broadcast(
+      Gazetteer.build(kws.map(w => GazEntry(w, "kw", "kw"))))
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val g = gazB.value
+        it.flatMap { case (id, text) =>
+          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            graft.mention.Sentences.group(s"synth://doc/$id", annots)
+          }
+        }
+      }
+  }
+
+  /** Session-scoped cache of persisted sentence sets, keyed by the caller (e.g.
+    * "sfdir|kws"): lets a battery of statistics queries over the same corpus share ONE
+    * annotate pass. Entries stay persisted until [[clearSentenceCache]] — callers that
+    * run a battery (Verify/Bench mains) clear it on exit so no cached RDD outlives
+    * the run. */
+  private val sentCache =
+    scala.collection.concurrent.TrieMap.empty[String, Dataset[SentenceAnnots]]
+
+  def clearSentenceCache(): Unit = {
+    sentCache.values.foreach(_.unpersist(blocking = false))
+    sentCache.clear()
+  }
+
+  /**
+   * Run `f` over the (persisted) sentence pass and return its result DETACHED: the
+   * result is computed eagerly and re-created as a local relation, so the sentence
+   * cache never leaks through returned lineage and uncached runs can unpersist in
+   * `finally`. Sound here because every consumer returns a BOUNDED result (pair
+   * stats, prior tables, score rollups — never corpus-sized).
+   */
+  private def withSentences(docs: DataFrame, idCol: String, textCol: String,
+      kws: Seq[String], cacheKey: Option[String])(
+      f: Dataset[SentenceAnnots] => DataFrame)(implicit spark: SparkSession): DataFrame =
+    cacheKey match {
+      case Some(k) =>
+        val sents = sentCache.getOrElseUpdate(k,
+          sentences(docs, idCol, textCol, kws)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        detach(f(sents))
+      case None =>
+        val sents = sentences(docs, idCol, textCol, kws)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try detach(f(sents)) finally sents.unpersist(blocking = false)
+    }
+
+  private def detach(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  /**
    * (context × target) pair statistics over a documents table — the oracle-checkable
    * entry point for the pair model (the reference's `final` table,
    * /root/reference/sql/ie-mysql.sql:24-33, written src/msa/BestPatterns.java:515-609):
@@ -112,45 +177,34 @@ object DocExtract {
    * with the reference's per-doc cap 50 and neg-only −1 correction.
    */
   def pairStats(docs: DataFrame, idCol: String, textCol: String, trigger: String,
-      kws: Seq[String])(implicit spark: SparkSession): DataFrame = {
-    import graft.learn.PatternStats
-    import spark.implicits._
-    val pred = s"after_$trigger"
-    val ctx = Pattern(1L, Seq(s":token|string|${trigger.toLowerCase}", Grid.Target),
-      pred, 0, "seed", 1.0, 0, 0, 0)
-    val tKw = Pattern(11L, Seq(":lookup|majortype|kw"), pred, 1, "seed", 1.0, 0, 0, 0)
-    val tWord = Pattern(12L, Seq(":token|kind|word"), pred, 1, "seed", 1.0, 0, 0, 0)
-    val gazB = spark.sparkContext.broadcast(
-      Gazetteer.build(kws.map(w => GazEntry(w, "kw", "kw"))))
-    val sents = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val g = gazB.value
-        it.flatMap { case (id, text) =>
-          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
-            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
-            graft.mention.Sentences.group(s"synth://doc/$id", annots)
-          }
+      kws: Seq[String], cacheKey: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame =
+    withSentences(docs, idCol, textCol, kws, cacheKey) { sents =>
+      import graft.learn.PatternStats
+      import spark.implicits._
+      val pred = s"after_$trigger"
+      val ctx = Pattern(1L, Seq(s":token|string|${trigger.toLowerCase}", Grid.Target),
+        pred, 0, "seed", 1.0, 0, 0, 0)
+      val tKw = Pattern(11L, Seq(":lookup|majortype|kw"), pred, 1, "seed", 1.0, 0, 0, 0)
+      val tWord = Pattern(12L, Seq(":token|kind|word"), pred, 1, "seed", 1.0, 0, 0, 0)
+      val triggerLabel = s":token|string|${trigger.toLowerCase}"
+      val gold = sents.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        grid.cols.sliding(2).collect {
+          case Seq(a, b) if a.has(triggerLabel) && b.has(":lookup|majortype|kw") =>
+            (s.url, pred, b.begin, b.end)
         }
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val triggerLabel = s":token|string|${trigger.toLowerCase}"
-    val gold = sents.flatMap { s =>
-      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
-      grid.cols.sliding(2).collect {
-        case Seq(a, b) if a.has(triggerLabel) && b.has(":lookup|majortype|kw") =>
-          (s.url, pred, b.begin, b.end)
-      }
-    }.toDF("url", "annotType", "begin", "end")
-    val cfg = PatternStats.Config(evalTolerance = 0)
-    val matches = PatternStats.applyPatternsPaired(sents, Seq(ctx), Seq(tKw, tWord), cfg)
-    PatternStats.scorePairs(matches, gold, spark.createDataset(Seq(ctx, tKw, tWord)), cfg)
-      .withColumn("fpAdj", greatest(col("fp") - 1, lit(0L)))
-      .select(col("profileId").as("profile_id"), col("targetId").as("target_id"),
-        col("tp"), col("fp"), col("total"),
-        when(col("tp") + col("fpAdj") > 0,
-          floor(col("tp") * 10000.0 / (col("tp") + col("fpAdj"))))
-          .otherwise(lit(0)).cast("long").as("prec_bp"))
-  }
+      }.toDF("url", "annotType", "begin", "end")
+      val cfg = PatternStats.Config(evalTolerance = 0)
+      val matches = PatternStats.applyPatternsPaired(sents, Seq(ctx), Seq(tKw, tWord), cfg)
+      PatternStats.scorePairs(matches, gold, spark.createDataset(Seq(ctx, tKw, tWord)), cfg)
+        .withColumn("fpAdj", greatest(col("fp") - 1, lit(0L)))
+        .select(col("profileId").as("profile_id"), col("targetId").as("target_id"),
+          col("tp"), col("fp"), col("total"),
+          when(col("tp") + col("fpAdj") > 0,
+            floor(col("tp") * 10000.0 / (col("tp") + col("fpAdj"))))
+            .otherwise(lit(0)).cast("long").as("prec_bp"))
+    }
 
   /**
    * A6 value-probability priors over a documents table — oracle-checkable entry point
@@ -158,72 +212,66 @@ object DocExtract {
    * `kws`; prior = the {prob·10000, −1, 0} ladder of P(occurrence is gold) per value.
    */
   def valuePriors(docs: DataFrame, idCol: String, textCol: String, trigger: String,
-      kws: Seq[String])(implicit spark: SparkSession): DataFrame = {
-    import graft.learn.ValueProbs
-    import spark.implicits._
-    val pred = s"after_$trigger"
-    val gazB = spark.sparkContext.broadcast(
-      Gazetteer.build(kws.map(w => GazEntry(w, "kw", "kw"))))
-    val sents = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val g = gazB.value
-        it.flatMap { case (id, text) =>
-          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
-            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
-            graft.mention.Sentences.group(s"synth://doc/$id", annots)
-          }
+      kws: Seq[String], cacheKey: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame =
+    withSentences(docs, idCol, textCol, kws, cacheKey) { sents =>
+      import graft.learn.ValueProbs
+      import spark.implicits._
+      val pred = s"after_$trigger"
+      val triggerLabel = s":token|string|${trigger.toLowerCase}"
+      val gold = sents.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        grid.cols.sliding(2).collect {
+          case Seq(a, b) if a.has(triggerLabel) && b.has(":lookup|majortype|kw") =>
+            (s.url, pred, b.text)
         }
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val triggerLabel = s":token|string|${trigger.toLowerCase}"
-    val gold = sents.flatMap { s =>
-      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
-      grid.cols.sliding(2).collect {
-        case Seq(a, b) if a.has(triggerLabel) && b.has(":lookup|majortype|kw") =>
-          (s.url, pred, b.text)
-      }
-    }.toDF("url", "annotType", "value")
-    ValueProbs.compute(sents, gold, ValueProbs.Config())
-  }
+      }.toDF("url", "annotType", "value")
+      ValueProbs.compute(sents, gold, ValueProbs.Config())
+    }
 
   /**
    * Eval-scorer entry point with a SQL twin: predicted = the token after `trigger`
-   * when longer than 4 chars; gold = the token after `trigger` when it is one of
-   * `kws`. Predictions thus contain both false positives (long non-keywords) and
-   * false negatives (short keywords like "join"), exercising every counter of
-   * [[graft.learn.Eval.score]]. Returns its full (annot_type × level) table.
+   * when longer than 4 chars (always a single token); gold = the token after `trigger`
+   * when it is one of `kws`, EXTENDED over the following token when that is also a
+   * keyword — so the corpus yields genuinely multi-token gold spans. Predictions thus
+   * contain false positives (long non-keywords), false negatives (short keywords like
+   * "join"), and partial overlaps (a single-token prediction against a two-token gold
+   * span) — the case where entity-level counts (exact-span: a miss) and token-level
+   * counts (per-token-unit: a partial hit) MUST diverge, exercising both scoring arms
+   * of [[graft.learn.Eval.score]] distinctly. Returns its full (annot_type × level)
+   * table.
    */
   def evalScores(docs: DataFrame, idCol: String, textCol: String, trigger: String,
-      kws: Seq[String])(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val pred = s"after_$trigger"
-    val gazB = spark.sparkContext.broadcast(
-      Gazetteer.build(kws.map(w => GazEntry(w, "kw", "kw"))))
-    val sents = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val g = gazB.value
-        it.flatMap { case (id, text) =>
-          graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
-            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
-            graft.mention.Sentences.group(s"synth://doc/$id", annots)
-          }
+      kws: Seq[String], cacheKey: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame =
+    withSentences(docs, idCol, textCol, kws, cacheKey) { sents =>
+      import spark.implicits._
+      val pred = s"after_$trigger"
+      val tokens = sents.flatMap(s =>
+          s.annots.filter(_.annotType == "Token").map(a => (a.url, a.begin, a.end)))
+        .toDF("url", "begin", "end")
+      val triggerLabel = s":token|string|${trigger.toLowerCase}"
+      val kwLabel = ":lookup|majortype|kw"
+      val predicted = sents.flatMap { s =>
+        val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+        grid.cols.sliding(2).collect {
+          case Seq(a, b) if a.has(triggerLabel) && b.text.length > 4 =>
+            (s.url, pred, b.begin, b.end)
         }
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tokens = sents.flatMap(s =>
-        s.annots.filter(_.annotType == "Token").map(a => (a.url, a.begin, a.end)))
-      .toDF("url", "begin", "end")
-    val triggerLabel = s":token|string|${trigger.toLowerCase}"
-    def spansWhere(cond: graft.align.GridCol => Boolean) = sents.flatMap { s =>
-      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
-      grid.cols.sliding(2).collect {
-        case Seq(a, b) if a.has(triggerLabel) && cond(b) => (s.url, pred, b.begin, b.end)
-      }
-    }.toDF("url", "annotType", "begin", "end")
-    val predicted = spansWhere(c => c.text.length > 4)
-    val gold = spansWhere(_.has(":lookup|majortype|kw"))
-    graft.learn.Eval.score(predicted, gold, tokens, tolerance = 0)
-  }
+      }.toDF("url", "annotType", "begin", "end")
+      val gold = sents.flatMap { s =>
+        val cols = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots).cols
+        (0 until cols.size - 1).flatMap { i =>
+          val (a, b) = (cols(i), cols(i + 1))
+          if (a.has(triggerLabel) && b.has(kwLabel)) {
+            val end = if (i + 2 < cols.size && cols(i + 2).has(kwLabel)) cols(i + 2).end
+                      else b.end
+            Some((s.url, pred, b.begin, end))
+          } else None
+        }
+      }.toDF("url", "annotType", "begin", "end")
+      graft.learn.Eval.score(predicted, gold, tokens, tolerance = 0)
+    }
 
   /** A hand-seeded single-anchor pattern: ":token|string|<trigger>" followed by a
     * one-token `:target` (minimal-span rule ⇒ exactly the next token). */

@@ -73,6 +73,10 @@ object Grid {
               if (mt.nonEmpty) labels += label("lookup", "minortype", mt)
             case "Number" => labels += ":number"
             case "Date"   => labels += ":date"
+            case "SyntaxTreeNode" =>
+              // parser/chunker phrase node: ":syntaxtreenode|cat|np" — the label shape
+              // the reference's syntax gates key on (MSAUtils.java:17-55)
+              labels += label("syntaxtreenode", "cat", a.features.getOrElse("cat", ""))
             case other    => labels += (":" + other.toLowerCase)
           }
         }

@@ -47,6 +47,7 @@ object SmithWaterman {
     else if (label.startsWith(":lookup|majortype|")) 7.0
     else if (label == ":number" || label == ":date") 5.0
     else if (label.startsWith(":token|orth|")) 2.0
+    else if (label.startsWith(":syntaxtreenode|")) 1.5 // phrase shape: weakly specific
     else 1.0
   }
 

@@ -76,11 +76,18 @@ object Annotate {
       col("features").getItem("kind") === "punctuation"))
   }
 
-  /** Deterministic per-page annotation: tokens/sentences/numbers then Lookups. */
-  def annotateOne(url: String, text: String, gaz: Gazetteer): Vector[Annotation] = {
+  /** Deterministic per-page annotation: tokens/sentences/numbers, gazetteer Lookups,
+    * then shallow syntax chunks (NP/VP/PP SyntaxTreeNode annotations — the feeder for
+    * syntax-anchored patterns and the MSA syntax/phrase gates; `withChunks = false`
+    * reproduces the chunker-less grids). */
+  def annotateOne(url: String, text: String, gaz: Gazetteer,
+      withChunks: Boolean = true): Vector[Annotation] = {
     val base = Tokenizer.annotate(url, text)
     val toks = Tokenizer.scan(text)
     val lookups = gaz.annotate(url, text, toks, firstId = base.length)
-    base ++ lookups
+    val chunks =
+      if (withChunks) Chunker.annotate(url, text, firstId = base.length + lookups.length)
+      else Vector.empty
+    base ++ lookups ++ chunks
   }
 }

@@ -17,12 +17,29 @@ import graft.model.Annotation
  * Label format follows the reference exactly (AnnotationSequence.java:300-347):
  * ":" + type + "|" + feature + "|" + value.toLowerCase, spaces → dashes.
  */
-final case class GridCol(begin: Int, end: Int, labels: Array[String], text: String = "") {
+/**
+ * @param spans parallel to `labels`: the total column-span of the annotation that
+ *        emitted each label (1 for single-column labels), on EVERY covered column.
+ * @param offs  parallel to `labels`: this column's 0-based offset inside the emitting
+ *        annotation (0 = the annotation's first column).
+ *
+ * `null` arrays ⇒ all labels single-column. The pair is what lets BOTH kernels treat a
+ * multi-token annotation as one element: the aligner anchors it at its LAST column and
+ * advances i/j by its span (ref SmithWatermanDim.java:233-245), the matcher anchors it
+ * at its FIRST column and consumes its full extent — so a learned pattern token like
+ * `:lookup|majortype|org` covers the whole entity in both induction and extraction.
+ * The same label may appear twice with different (span, off) when overlapping
+ * annotations share it.
+ */
+final case class GridCol(begin: Int, end: Int, labels: Array[String], text: String = "",
+    spans: Array[Int] = null, offs: Array[Int] = null) {
   def has(label: String): Boolean = {
     var i = 0
     while (i < labels.length) { if (labels(i) == label) return true; i += 1 }
     false
   }
+  def spanOf(k: Int): Int = if (spans == null) 1 else spans(k)
+  def offOf(k: Int): Int = if (offs == null) 0 else offs(k)
 }
 
 final case class Grid(url: String, sentBegin: Int, sentEnd: Int, cols: IndexedSeq[GridCol],
@@ -56,35 +73,55 @@ object Grid {
   def build(url: String, sentBegin: Int, sentEnd: Int, annots: Seq[Annotation],
       targetSpans: Seq[(Int, Int)] = Nil, maxGridLen: Int = 300): Grid = {
     val tokens = annots.filter(_.annotType == "Token").sortBy(_.begin).take(maxGridLen)
+      .toIndexedSeq
     val others = annots.filter(a => a.annotType != "Token" && a.annotType != "Sentence")
-    val cols = tokens.map { t =>
-      val labels = Vector.newBuilder[String]
+    // column range [lo, hi] of each covering span (covered tokens are contiguous)
+    def colRange(b: Int, e: Int): Option[(Int, Int)] = {
+      val lo = tokens.indexWhere(t => b <= t.begin && e >= t.end)
+      if (lo < 0) None
+      else {
+        var hi = lo
+        while (hi + 1 < tokens.size && b <= tokens(hi + 1).begin && e >= tokens(hi + 1).end)
+          hi += 1
+        Some((lo, hi))
+      }
+    }
+    val otherRanges = others.flatMap(a => colRange(a.begin, a.end).map(r => (a, r._1, r._2)))
+    val targetRanges = targetSpans.flatMap(s => colRange(s._1, s._2))
+    val cols = tokens.zipWithIndex.map { case (t, ci) =>
+      // (label, span, off) entries; exact duplicates collapse, but the same label from
+      // two OVERLAPPING annotations keeps both entries (different span/off)
+      val entries = collection.mutable.LinkedHashSet.empty[(String, Int, Int)]
+      def add(l: String, lo: Int, hi: Int): Unit =
+        entries += ((l, hi - lo + 1, ci - lo))
       // token feature tracks, most specific first
-      t.features.get("string").foreach(v => labels += label("token", "string", v))
-      t.features.get("root").foreach(v => labels += label("token", "root", v))
-      t.features.get("orth").foreach(v => labels += label("token", "orth", v))
-      t.features.get("kind").foreach(v => labels += label("token", "kind", v))
-      others.foreach { a =>
-        if (a.begin <= t.begin && a.end >= t.end) {
+      t.features.get("string").foreach(v => add(label("token", "string", v), ci, ci))
+      t.features.get("root").foreach(v => add(label("token", "root", v), ci, ci))
+      t.features.get("orth").foreach(v => add(label("token", "orth", v), ci, ci))
+      t.features.get("kind").foreach(v => add(label("token", "kind", v), ci, ci))
+      otherRanges.foreach { case (a, lo, hi) =>
+        if (lo <= ci && ci <= hi) {
           a.annotType match {
             case "Lookup" =>
-              labels += label("lookup", "majortype", a.features.getOrElse("majorType", ""))
+              add(label("lookup", "majortype", a.features.getOrElse("majorType", "")), lo, hi)
               val mt = a.features.getOrElse("minorType", "")
-              if (mt.nonEmpty) labels += label("lookup", "minortype", mt)
-            case "Number" => labels += ":number"
-            case "Date"   => labels += ":date"
+              if (mt.nonEmpty) add(label("lookup", "minortype", mt), lo, hi)
+            case "Number" => add(":number", lo, hi)
+            case "Date"   => add(":date", lo, hi)
             case "SyntaxTreeNode" =>
               // parser/chunker phrase node: ":syntaxtreenode|cat|np" — the label shape
               // the reference's syntax gates key on (MSAUtils.java:17-55)
-              labels += label("syntaxtreenode", "cat", a.features.getOrElse("cat", ""))
-            case other    => labels += (":" + other.toLowerCase)
+              add(label("syntaxtreenode", "cat", a.features.getOrElse("cat", "")), lo, hi)
+            case other    => add(":" + other.toLowerCase, lo, hi)
           }
         }
       }
-      if (targetSpans.exists { case (b, e) => b <= t.begin && e >= t.end })
-        labels += Target
-      GridCol(t.begin, t.end, labels.result().distinct.toArray, t.value)
-    }.toIndexedSeq
+      targetRanges.foreach { case (lo, hi) =>
+        if (lo <= ci && ci <= hi) add(Target, lo, hi)
+      }
+      val es = entries.toArray
+      GridCol(t.begin, t.end, es.map(_._1), t.value, es.map(_._2), es.map(_._3))
+    }
     val withSentinels =
       GridCol(sentBegin, sentBegin, Array(Start)) +:
       cols :+

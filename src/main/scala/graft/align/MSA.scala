@@ -50,7 +50,9 @@ object MSA {
     while (k < al.anchors.length) {
       if (k > 0) {
         val prev = al.anchors(k - 1); val cur = al.anchors(k)
-        if (cur.i - prev.i > 1 || cur.j - prev.j > 1) out += Grid.Gap
+        // gap = columns skipped between the previous anchor's END and this anchor's
+        // FIRST column (a multi-column anchor's interior is consumed, not skipped)
+        if (cur.iFirst - prev.i > 1 || cur.jFirst - prev.j > 1) out += Grid.Gap
       }
       out += al.anchors(k).label
       k += 1

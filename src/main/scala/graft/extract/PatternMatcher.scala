@@ -151,15 +151,19 @@ object PatternMatcher {
           }
         }
       } else {
+        // literal: anchors at the FIRST column of the emitting annotation and
+        // consumes its full extent — the matcher-side twin of the aligner's
+        // multi-token advance, so a single `:lookup|…` pattern token covers a whole
+        // multi-token entity (induction and extraction agree on element granularity)
         if (mustBeAdjacent) {
-          if (ci < n && cols(ci).has(elem))
-            place(k + 1, ci + 1, mustBeAdjacent = true, tb, te, sb, se)
+          if (ci < n) anchoredSpans(cols(ci), elem, n - ci).foreach(sp =>
+            place(k + 1, ci + sp, mustBeAdjacent = true, tb, te, sb, se))
         } else {
           // first literal: try every start column
           var s = ci
           while (s < n) {
-            if (cols(s).has(elem))
-              place(k + 1, s + 1, mustBeAdjacent = true, tb, te, sb, se)
+            anchoredSpans(cols(s), elem, n - s).foreach(sp =>
+              place(k + 1, s + sp, mustBeAdjacent = true, tb, te, sb, se))
             s += 1
           }
         }
@@ -203,7 +207,8 @@ object PatternMatcher {
           }
           ok
         case l =>
-          ci < until && cols(ci).has(l) && step(k + 1, ci + 1)
+          ci < until && anchoredSpans(cols(ci), l, until - ci)
+            .exists(sp => step(k + 1, ci + sp))
       }
     }
     from < until && step(0, from)
@@ -303,8 +308,14 @@ object PatternMatcher {
       val add = spans.collect {
         case (t, b, e) if b <= c.begin && e >= c.end && c.end > c.begin =>
           ":" + t.toLowerCase
-      }
-      if (add.isEmpty) c else c.copy(labels = (c.labels ++ add).distinct)
+      }.distinct.filterNot(c.has)
+      if (add.isEmpty) c
+      else c.copy(labels = c.labels ++ add,
+        // keep the span tracks parallel: cascade-inserted labels are per-column
+        spans = if (c.spans == null) null
+                else c.spans ++ Array.fill(add.size)(1),
+        offs = if (c.offs == null) null
+               else c.offs ++ Array.fill(add.size)(0))
     })
 
   /**
@@ -371,6 +382,23 @@ object PatternMatcher {
   private def coveredText(grid: Grid, b: Int, e: Int): String =
     grid.cols.filter(c => c.begin >= b && c.end <= e && c.end > c.begin)
       .sortBy(_.begin).map(_.text).filter(_.nonEmpty).mkString(" ")
+
+  /** Column-spans of annotations labeled `l` ANCHORED (first covered column) at this
+    * column, bounded by the columns remaining — the matcher-side multi-token element
+    * rule. Single-token labels yield span 1; a label shared by overlapping annotations
+    * can yield several candidate spans (all tried, backtracking). */
+  private def anchoredSpans(c: GridCol, l: String, remaining: Int): List[Int] = {
+    var out = List.empty[Int]
+    var k = 0
+    while (k < c.labels.length) {
+      if (c.labels(k) == l && c.offOf(k) == 0) {
+        val sp = c.spanOf(k)
+        if (sp <= remaining && !out.contains(sp)) out = sp :: out
+      }
+      k += 1
+    }
+    out
+  }
 
   /** Strip a final non-letter from an extracted value (ref AutoAnnotate.java:622-629). */
   def trimTrailingPunct(v: String): String =

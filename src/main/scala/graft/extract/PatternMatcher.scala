@@ -25,9 +25,16 @@ object PatternMatcher {
   /** @param cascadeRounds extraction fixpoint bound: accepted targets are re-inserted
     *        into the grid as annotation labels and matching repeats, so patterns may
     *        reference earlier extractions (ref ProfileMatcher.java:773-820, do-while
-    *        :205-848). 1 = single pass (no cascade). */
+    *        :205-848). 1 = single pass (no cascade).
+    * @param maxMissedLiterals the reference's LENIENT mode (candidate gate
+    *        `hits >= size - maxGaps - 3`, ProfileInvertedIndex.java:308-333, with the
+    *        aligner tolerating unmatched pattern tokens inside `matchCoords >=
+    *        gridSize - maxGaps`, MSAUtils.java:471): up to N literal elements may go
+    *        unmatched — skipped outright or consuming one non-matching column — and
+    *        the inverted index forwards candidates missing up to N literals. At least
+    *        one literal must still match. 0 (default) = strict exact matching. */
   final case class Params(maxGapSpan: Int = 3, maxTargetLen: Int = 5, maxGridLen: Int = 300,
-      cascadeRounds: Int = 1)
+      cascadeRounds: Int = 1, maxMissedLiterals: Int = 0)
 
   final case class Compiled(pattern: Pattern, elems: Vector[String], literals: Vector[String])
 
@@ -62,7 +69,11 @@ object PatternMatcher {
     }
     private val required: Array[Int] = compiled.map(_.literals.distinct.size).toArray
 
-    def candidates(labels: Set[String]): Vector[Compiled] = {
+    /** @param missSlack lenient-mode slack: forward candidates missing up to this
+      *        many literals (ref `hits >= size − maxGaps − 3`,
+      *        ProfileInvertedIndex.java:308-333), floored at one present literal so
+      *        literal-free candidacy stays impossible. */
+    def candidates(labels: Set[String], missSlack: Int = 0): Vector[Compiled] = {
       val counts = new Array[Int](compiled.size)
       labels.foreach { l =>
         postings.get(l).foreach(_.foreach(i => counts(i) += 1))
@@ -70,7 +81,8 @@ object PatternMatcher {
       val out = Vector.newBuilder[Compiled]
       var i = 0
       while (i < counts.length) {
-        if (required(i) > 0 && counts(i) >= required(i)) out += compiled(i)
+        if (required(i) > 0 && counts(i) >= math.max(1, required(i) - missSlack))
+          out += compiled(i)
         i += 1
       }
       out.result()
@@ -106,11 +118,14 @@ object PatternMatcher {
     def hasLookup(t: Int): Boolean =
       cols(t).labels.exists(_.startsWith(":lookup|"))
 
-    // backtracking: place elems(k) starting at column index ci
+    // backtracking: place elems(k) starting at column index ci.
+    // `missed` = lenient-mode budget of skippable literals left; `lits` = literals
+    // actually matched so far (≥1 required at completion when the pattern has any)
     def place(k: Int, ci: Int, mustBeAdjacent: Boolean,
-        tb: Int, te: Int, sb: Int, se: Int): Unit = {
+        tb: Int, te: Int, sb: Int, se: Int,
+        missed: Int = prm.maxMissedLiterals, lits: Int = 0): Unit = {
       if (k == c.elems.length) {
-        if (tb >= 0) results += Span(tb, te, sb, se)
+        if (tb >= 0 && (c.literals.isEmpty || lits > 0)) results += Span(tb, te, sb, se)
         return
       }
       val elem = c.elems(k)
@@ -119,7 +134,7 @@ object PatternMatcher {
         // time; precision is enforced downstream by the stats gate)
         var skip = 0
         while (skip <= prm.maxGapSpan && ci + skip <= n) {
-          place(k + 1, ci + skip, mustBeAdjacent = true, tb, te, sb, se)
+          place(k + 1, ci + skip, mustBeAdjacent = true, tb, te, sb, se, missed, lits)
           skip += 1
         }
         // note: the skipped columns start at ci; next element must start at ci+skip
@@ -143,9 +158,9 @@ object PatternMatcher {
               val (b, e) = (cols(s).begin, cols(s + len - 1).end)
               if (isSubj) {
                 if (grid.lookupSpans.contains((b, e)))
-                  place(k + 1, s + len, mustBeAdjacent = true, tb, te, b, e)
+                  place(k + 1, s + len, mustBeAdjacent = true, tb, te, b, e, missed, lits)
               }
-              else place(k + 1, s + len, mustBeAdjacent = true, b, e, sb, se)
+              else place(k + 1, s + len, mustBeAdjacent = true, b, e, sb, se, missed, lits)
             }
             len += 1
           }
@@ -157,15 +172,23 @@ object PatternMatcher {
         // multi-token entity (induction and extraction agree on element granularity)
         if (mustBeAdjacent) {
           if (ci < n) anchoredSpans(cols(ci), elem, n - ci).foreach(sp =>
-            place(k + 1, ci + sp, mustBeAdjacent = true, tb, te, sb, se))
+            place(k + 1, ci + sp, mustBeAdjacent = true, tb, te, sb, se, missed, lits + 1))
         } else {
           // first literal: try every start column
           var s = ci
           while (s < n) {
             anchoredSpans(cols(s), elem, n - s).foreach(sp =>
-              place(k + 1, s + sp, mustBeAdjacent = true, tb, te, sb, se))
+              place(k + 1, s + sp, mustBeAdjacent = true, tb, te, sb, se, missed, lits + 1))
             s += 1
           }
+        }
+        // lenient mode: this literal may go unmatched — skipped outright, or
+        // consuming one non-matching column (ref alignment gaps inside
+        // `matchCoords >= gridSize − maxGaps`, MSAUtils.java:471)
+        if (missed > 0) {
+          place(k + 1, ci, mustBeAdjacent, tb, te, sb, se, missed - 1, lits)
+          if (mustBeAdjacent && ci < n)
+            place(k + 1, ci + 1, mustBeAdjacent = true, tb, te, sb, se, missed - 1, lits)
         }
       }
     }
@@ -235,7 +258,7 @@ object PatternMatcher {
   def matchPairs(grid: Grid, ctxIndex: Index, targetsByType: Map[String, IndexedSeq[Compiled]],
       prm: Params = Params(), allowedPairs: Option[Set[(Long, Long)]] = None,
       suppressOverlaps: Boolean = true): Vector[PairHit] = {
-    val cands = ctxIndex.candidates(grid.labelSet)
+    val cands = ctxIndex.candidates(grid.labelSet, prm.maxMissedLiterals)
     val cols = grid.cols
     val accepted = mutable.ArrayBuffer.empty[PairHit]
     val seen = mutable.HashSet.empty[(Long, Long, Int, Int)]
@@ -278,7 +301,7 @@ object PatternMatcher {
    */
   def matchAll(grid: Grid, index: Index, prm: Params = Params(),
       suppressOverlaps: Boolean = true): Vector[Hit] = {
-    val cands = index.candidates(grid.labelSet)
+    val cands = index.candidates(grid.labelSet, prm.maxMissedLiterals)
     val accepted = mutable.ArrayBuffer.empty[Hit]
     cands.foreach { c =>
       matchOneFull(grid, c, prm)

@@ -141,4 +141,65 @@ class MatcherParitySpec extends Properties("MatcherParity") {
           }
         (got == want) :| s"got=$got want=$want ctx=$ctxToks tgt=$tgtToks"
     }
+
+  /** Brute-force LENIENT oracle: like [[NaiveMatcher.spans]] but a literal may go
+    * unmatched — skipped outright, or consuming one column when already anchored —
+    * bounded by `missBudget`, and ≥1 literal must still match. */
+  private def naiveLenient(grid: Grid, elems: Vector[String], maxGapSpan: Int,
+      maxTargetLen: Int, missBudget: Int): Set[(Int, Int)] = {
+    val cols = grid.cols
+    val n = cols.size
+    val hasLits = elems.exists(t => t != Grid.Gap && t != Grid.Target)
+    def real(i: Int): Boolean = !(cols(i).has(Grid.Start) || cols(i).has(Grid.End))
+    def go(k: Int, ci: Int, anchored: Boolean, tspan: Option[(Int, Int)],
+        missed: Int, lits: Int): Set[(Int, Int)] =
+      if (k == elems.length) { if (!hasLits || lits > 0) tspan.toSet else Set.empty }
+      else elems(k) match {
+        case Grid.Gap =>
+          (0 to maxGapSpan).flatMap(skip =>
+            if (ci + skip <= n) go(k + 1, ci + skip, anchored = true, tspan, missed, lits)
+            else Set.empty[(Int, Int)]).toSet
+        case Grid.Target =>
+          val starts = if (anchored) Seq(ci) else 0 until n
+          starts.flatMap { s =>
+            (1 to maxTargetLen).flatMap { len =>
+              if (s + len <= n && (s until s + len).forall(real))
+                go(k + 1, s + len, anchored = true,
+                  Some((cols(s).begin, cols(s + len - 1).end)), missed, lits)
+              else Set.empty[(Int, Int)]
+            }
+          }.toSet
+        case lit =>
+          val starts = if (anchored) Seq(ci) else 0 until n
+          val matched = starts.flatMap(s =>
+            if (s < n && cols(s).has(lit)) go(k + 1, s + 1, anchored = true, tspan,
+              missed, lits + 1)
+            else Set.empty[(Int, Int)]).toSet
+          val skipped =
+            if (missed > 0) {
+              val del = go(k + 1, ci, anchored, tspan, missed - 1, lits)
+              val sub = if (anchored && ci < n)
+                go(k + 1, ci + 1, anchored = true, tspan, missed - 1, lits)
+              else Set.empty[(Int, Int)]
+              del ++ sub
+            } else Set.empty[(Int, Int)]
+          matched ++ skipped
+      }
+    go(0, 0, anchored = false, None, missBudget, 0)
+  }
+
+  property("lenient matching == brute-force lenient oracle, and ⊇ strict") =
+    forAll(gridGen, patternGen) { (grid: Grid, toks: Vector[String]) =>
+      val p = Pattern(1L, toks, "T", 0, "g", 1.0, 0, 0, 1)
+      val strictPrm = PatternMatcher.Params(maxGapSpan = 2, maxTargetLen = 3)
+      val lenPrm = strictPrm.copy(maxMissedLiterals = 1)
+      val c = PatternMatcher.compile(p)
+      val strict = PatternMatcher.matchOneFull(grid, c, strictPrm, minimalTarget = false)
+        .map(s => (s.tb, s.te)).toSet
+      val lenient = PatternMatcher.matchOneFull(grid, c, lenPrm, minimalTarget = false)
+        .map(s => (s.tb, s.te)).toSet
+      val want = naiveLenient(grid, c.elems, 2, 3, missBudget = 1)
+      (lenient == want && strict.subsetOf(lenient)) :|
+        s"lenient=$lenient want=$want strict=$strict pattern=$toks"
+    }
 }

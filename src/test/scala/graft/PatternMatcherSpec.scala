@@ -139,6 +139,42 @@ class PatternMatcherSpec extends AnyFunSuite {
     assert(hits.size === 2, "cross-round dedup failed")
   }
 
+  test("lenient mode: a missing literal is tolerated within the miss budget") {
+    // pattern expects "was officially founded in" but the sentence omits "officially"
+    val p = pat(1, ":token|string|was", ":token|string|officially",
+      ":token|string|founded", ":token|string|in", Grid.Target)
+    val g = gridOf("Acme was founded in 1997")
+    val c = PatternMatcher.compile(p)
+    // strict: no match — recall 0 on this site
+    assert(PatternMatcher.matchOne(g, c, PatternMatcher.Params()).isEmpty)
+    // lenient budget 1: literal skipped (deletion), target extracted — the recall the
+    // reference's hits >= size - maxGaps - 3 gate buys
+    val hits = PatternMatcher.matchOne(g, c,
+      PatternMatcher.Params(maxMissedLiterals = 1))
+    assert(hits.contains((20, 24)))
+    // substitution variant: a different word in the pattern's slot position
+    val gSub = gridOf("Acme was quietly founded in 1997")
+    assert(PatternMatcher.matchOne(gSub, c, PatternMatcher.Params()).isEmpty)
+    assert(PatternMatcher.matchOne(gSub, c,
+      PatternMatcher.Params(maxMissedLiterals = 1)).contains((28, 32)))
+  }
+
+  test("lenient mode: index forwards candidates missing a literal; never literal-free") {
+    val p = pat(1, ":token|string|zzz", ":token|string|founded",
+      ":token|string|in", Grid.Target)
+    val g = gridOf("Acme was founded in 1997")
+    val idx = PatternMatcher.buildIndex(Seq(p))
+    assert(idx.candidates(g.labelSet).isEmpty)            // strict: zzz absent
+    assert(idx.candidates(g.labelSet, missSlack = 1).size === 1)
+    // all literals missing stays non-candidate even with slack (floor at 1 present)
+    val gNone = gridOf("other words entirely here")
+    assert(idx.candidates(gNone.labelSet, missSlack = 2).isEmpty)
+    // and matchAll under the lenient budget extracts end-to-end
+    val hits = PatternMatcher.matchAll(g, idx,
+      PatternMatcher.Params(maxMissedLiterals = 1))
+    assert(hits.exists(_.value == "1997"))
+  }
+
   test("trailing punct trim and all-caps guard") {
     assert(PatternMatcher.trimTrailingPunct("1997,") === "1997")
     assert(PatternMatcher.trimTrailingPunct("Acme Corp") === "Acme Corp")

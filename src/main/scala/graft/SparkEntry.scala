@@ -266,6 +266,13 @@ object SparkEntry {
         statsKws, cacheKey = Some(statsCacheKey(d)))
     }),
 
+    // ---- P7 doc cleanup: trim + whitespace-collapse rewrite ----
+    "q33_clean_docs" -> ((s, d) =>
+      graft.ingest.Normalize.cleanDocs(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("text").as("clean_text"),
+          length(col("text")).cast("long").as("n_chars"))),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -716,6 +723,13 @@ object SparkEntry {
                                       (2 * lv.tp + lv.fp + lv.fn))
                            ELSE 0 END AS BIGINT) AS f1_bp
           FROM lv, (VALUES ('after_merge'), ('ALL')) ty(annot_type)""",
+
+    "q33_clean_docs" ->
+      """SELECT doc_id,
+                regexp_replace(trim(text), '\s+', ' ', 'g') AS clean_text,
+                CAST(len(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
+                  AS n_chars
+         FROM documents""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

@@ -100,12 +100,14 @@ object Extract {
    */
   def mentionsPaired(sentences: Dataset[SentenceAnnots], contextPatterns: Seq[Pattern],
       targetPatterns: Seq[Pattern], allowedPairs: Map[(Long, Long), Double],
-      prm: PatternMatcher.Params = PatternMatcher.Params())(
+      prm: PatternMatcher.Params = PatternMatcher.Params(),
+      excludedPairs: Set[(Long, Long)] = Set.empty)(
       implicit spark: SparkSession): Dataset[Mention] = {
     import spark.implicits._
     val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(contextPatterns))
     val tgtB = spark.sparkContext.broadcast(compileTargets(targetPatterns))
     val pairsB = spark.sparkContext.broadcast(allowedPairs)
+    val exclB = spark.sparkContext.broadcast(excludedPairs)
     sentences.mapPartitions { it =>
       val index = idxB.value
       val targets = tgtB.value
@@ -114,7 +116,7 @@ object Extract {
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
         else PatternMatcher.matchPairsCascaded(grid, index, targets, prm,
-          allowedPairs = Some(pairs.keySet)).iterator
+          allowedPairs = Some(pairs.keySet), excludedPairs = exclB.value).iterator
           .filter(_.subjBegin < 0)
           .map { h =>
             val prec = pairs((h.context.profileId, h.target.profileId))
@@ -130,12 +132,14 @@ object Extract {
   def relationTriplesPaired(sentences: Dataset[SentenceAnnots],
       relPatterns: Seq[Pattern], targetPatterns: Seq[Pattern],
       allowedPairs: Map[(Long, Long), Double],
-      prm: PatternMatcher.Params = PatternMatcher.Params())(
+      prm: PatternMatcher.Params = PatternMatcher.Params(),
+      excludedPairs: Set[(Long, Long)] = Set.empty)(
       implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._
     val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(relPatterns))
     val tgtB = spark.sparkContext.broadcast(compileTargets(targetPatterns))
     val pairsB = spark.sparkContext.broadcast(allowedPairs)
+    val exclB = spark.sparkContext.broadcast(excludedPairs)
     sentences.mapPartitions { it =>
       val index = idxB.value
       val targets = tgtB.value
@@ -144,7 +148,7 @@ object Extract {
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
         else PatternMatcher.matchPairsCascaded(grid, index, targets, prm,
-          allowedPairs = Some(pairs.keySet)).iterator
+          allowedPairs = Some(pairs.keySet), excludedPairs = exclB.value).iterator
           .filter(_.subjBegin >= 0)
           .map { h =>
             val prec = pairs((h.context.profileId, h.target.profileId))

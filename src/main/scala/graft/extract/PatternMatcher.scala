@@ -252,12 +252,17 @@ object PatternMatcher {
    *
    * @param allowedPairs extraction-time per-pair gate (the `final` table read); None =
    *        all pairs (stats-collection mode).
+   * @param excludedPairs standing per-pair EXCLUSION set — the reference's `filter`
+   *        table (/root/reference/sql/ie-mysql.sql:16-20, read
+   *        src/msa/ProfileReader.java:411-437): a pair listed here never matches, even
+   *        when allowed/high-precision.
    * @param suppressOverlaps drop hits whose target span overlaps an accepted one
    *        (longest-context-first priority) — extraction mode; stats mode passes false.
    */
   def matchPairs(grid: Grid, ctxIndex: Index, targetsByType: Map[String, IndexedSeq[Compiled]],
       prm: Params = Params(), allowedPairs: Option[Set[(Long, Long)]] = None,
-      suppressOverlaps: Boolean = true): Vector[PairHit] = {
+      suppressOverlaps: Boolean = true,
+      excludedPairs: Set[(Long, Long)] = Set.empty): Vector[PairHit] = {
     val cands = ctxIndex.candidates(grid.labelSet, prm.maxMissedLiterals)
     val cols = grid.cols
     val accepted = mutable.ArrayBuffer.empty[PairHit]
@@ -274,7 +279,8 @@ object PatternMatcher {
             val until = cols.lastIndexWhere(c => c.end == s.te && c.end > c.begin) + 1
             if (from >= 0 && until > from) targets.foreach { tc =>
               val pairKey = (c.pattern.profileId, tc.pattern.profileId)
-              val allowed = allowedPairs.forall(_.contains(pairKey))
+              val allowed = allowedPairs.forall(_.contains(pairKey)) &&
+                !excludedPairs.contains(pairKey)
               if (allowed && targetMatches(grid, from, until, tc, prm)) {
                 val overlaps = suppressOverlaps &&
                   accepted.exists(h => h.targetBegin < s.te && h.targetEnd > s.tb)
@@ -377,7 +383,8 @@ object PatternMatcher {
   /** Pair-model variant of [[matchAllCascaded]]. */
   def matchPairsCascaded(grid: Grid, ctxIndex: Index,
       targetsByType: Map[String, IndexedSeq[Compiled]], prm: Params = Params(),
-      allowedPairs: Option[Set[(Long, Long)]] = None): Vector[PairHit] = {
+      allowedPairs: Option[Set[(Long, Long)]] = None,
+      excludedPairs: Set[(Long, Long)] = Set.empty): Vector[PairHit] = {
     var g = grid
     val all = mutable.LinkedHashMap.empty[(Long, Long, Int, Int), PairHit]
     val maxRounds = math.max(1, prm.cascadeRounds)
@@ -385,7 +392,8 @@ object PatternMatcher {
     var changed = true
     while (changed && round < maxRounds) {
       changed = false
-      val fresh = matchPairs(g, ctxIndex, targetsByType, prm, allowedPairs)
+      val fresh = matchPairs(g, ctxIndex, targetsByType, prm, allowedPairs,
+          excludedPairs = excludedPairs)
         .filterNot(h => all.contains(
           (h.context.profileId, h.target.profileId, h.targetBegin, h.targetEnd)))
       if (fresh.nonEmpty) {

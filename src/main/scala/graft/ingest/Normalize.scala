@@ -31,4 +31,22 @@ object Normalize {
     d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
   }
+
+  /**
+   * P7 doc-cleanup operator — the reference's in-place corpus rewrite
+   * (/root/reference/src/util/CleanDocs.java:16-60: trim each doc's text and write it
+   * back), extended with the whitespace-collapse pass its name promises: internal
+   * whitespace runs become single spaces. A pure column rewrite (trim +
+   * regexp_replace), fully inside whole-stage codegen — the Spark replacement for the
+   * reference's row-at-a-time UPDATE loop. Rewrite in place = overwrite the corpus
+   * table with this frame.
+   */
+  def cleanDocs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      collapseWhitespace: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val trimmed = trim(col(textCol))
+    val cleaned = if (collapseWhitespace)
+      regexp_replace(trimmed, "\\s+", " ") else trimmed
+    docs.withColumn(textCol, cleaned)
+  }
 }

@@ -65,7 +65,8 @@ object PatternStats {
    */
   def applyPatternsPaired(sentences: Dataset[SentenceAnnots],
       contextPatterns: Seq[Pattern], targetPatterns: Seq[Pattern],
-      cfg: Config = Config(), allowedPairs: Option[Set[(Long, Long)]] = None)(
+      cfg: Config = Config(), allowedPairs: Option[Set[(Long, Long)]] = None,
+      excludedPairs: Set[(Long, Long)] = Set.empty)(
       implicit spark: SparkSession): Dataset[PatternMatch] = {
     import spark.implicits._
     val idxB = spark.sparkContext.broadcast(PatternMatcher.buildIndex(contextPatterns))
@@ -75,17 +76,20 @@ object PatternStats {
           .map(PatternMatcher.compile).toIndexedSeq
       })
     val allowedB = spark.sparkContext.broadcast(allowedPairs)
+    val excludedB = spark.sparkContext.broadcast(excludedPairs)
     sentences.mapPartitions { it =>
       val index = idxB.value
       val targets = tgtB.value
       val allowed = allowedB.value
+      val excluded = excludedB.value
       it.flatMap { s =>
         val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
         if (PatternMatcher.isAllCapsSentence(grid)) Iterator.empty
         // stats count RAW pair matches (no overlap suppression): the reference computes
         // precision before overlap filtering
         else PatternMatcher.matchPairs(grid, index, targets, cfg.matcher,
-          allowedPairs = allowed, suppressOverlaps = false).iterator.map { h =>
+          allowedPairs = allowed, suppressOverlaps = false,
+          excludedPairs = excluded).iterator.map { h =>
           PatternMatch(h.context.profileId, h.target.profileId, s.url,
             h.targetBegin, h.targetEnd, PatternMatcher.trimTrailingPunct(h.value))
         }
@@ -157,9 +161,21 @@ object PatternStats {
   }
 
   /** Pairs passing the promotion gate (ref ProfileReader.readFinal per-pair gates,
-    * /root/reference/src/msa/ProfileReader.java:257-279). */
-  def keptPairs(pairStats: DataFrame, cfg: Config = Config()): DataFrame =
-    pairStats.filter(col("prec") >= cfg.posThreshold && col("total") >= cfg.minCount)
+    * /root/reference/src/msa/ProfileReader.java:257-279), minus any standing
+    * exclusions — the reference's `filter` table (sql/ie-mysql.sql:16-20, read
+    * ProfileReader.java:411-437): an excluded pair never promotes, whatever its
+    * precision. */
+  def keptPairs(pairStats: DataFrame, cfg: Config = Config(),
+      excludedPairs: Set[(Long, Long)] = Set.empty): DataFrame = {
+    val gated = pairStats.filter(col("prec") >= cfg.posThreshold &&
+      col("total") >= cfg.minCount)
+    if (excludedPairs.isEmpty) gated
+    else {
+      val excl = excludedPairs.toSeq.map(p => s"${p._1}${p._2}")
+      gated.filter(!concat_ws("", col("profileId"), col("targetId"))
+        .isInCollection(excl))
+    }
+  }
 
   /** A3 profile-active check: context profiles where some target combo reaches
     * activeThreshold precision (ref BestPatterns.java:561-565,612-620). */

@@ -56,6 +56,52 @@ object Materialize {
   }
 
   /**
+   * Provenance-precedence dedup — the reference's PopulateFrame rule
+   * (/root/reference/src/msa/PopulateFrame.java:168-192): at one annotation SITE
+   * (url, pred, begin, end), a human-validated row supersedes any auto row REGARDLESS
+   * of score; only within equal provenance rank does the best score win. The winner
+   * is picked atomically (one ordered struct), so its subj/obj/score/provenance always
+   * come from the same row.
+   *
+   * @param triples a Triple-shaped DataFrame plus a `provenance` column
+   * @param provenanceRank lower = stronger; unlisted provenances rank weakest
+   */
+  def dedupPrecedence(triples: DataFrame,
+      provenanceRank: Map[String, Int] = Map("validation-tool" -> 0, "msa-ie" -> 1))(
+      implicit spark: SparkSession): DataFrame = {
+    val rankExpr = provenanceRank.foldLeft(lit(Int.MaxValue)) { case (acc, (p, r)) =>
+      when(col("provenance") === p, lit(r)).otherwise(acc)
+    }
+    triples
+      .withColumn("_rank", rankExpr)
+      .groupBy(col("url"), col("pred"), col("begin"), col("end"))
+      .agg(max_by(
+        struct(col("subj"), col("obj"), col("profileId"), col("score"),
+          col("provenance")),
+        // precedence first (negated rank: stronger = larger), then score, then a
+        // deterministic tiebreak
+        struct(-col("_rank"), col("score"), col("subj"), col("obj"))).as("w"))
+      .select(col("w.subj").as("subj"), col("pred"), col("w.obj").as("obj"),
+        col("url"), col("begin"), col("end"),
+        col("w.profileId").as("profileId"), col("w.score").as("score"),
+        col("w.provenance").as("provenance"))
+  }
+
+  /**
+   * Element-repeat ordinals — the reference's frame_instance_element_repeat
+   * bookkeeping (/root/reference/src/msa/PopulateFrame.java:271-303): when one
+   * (url, subj, pred) slot accepts several values, each occurrence gets its repeat
+   * ordinal (0-based, document order). The window is partitioned per page — bounded
+   * state, scale-safe.
+   */
+  def withElementRepeat(triples: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"), col("subj"), col("pred"))
+      .orderBy(col("begin"), col("end"), col("obj"))
+    triples.withColumn("element_repeat", row_number().over(w) - 1)
+  }
+
+  /**
    * Resumable write: consult the checkpoint table and (re)write ONLY buckets that have
    * no completed checkpoint row — the north rule's "resumable from checkpoint with
    * per-partition lineage": a crashed run leaves complete buckets' data + checkpoint

@@ -29,6 +29,17 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     assert(GenMSA.subsumptionFilter(Seq(a, gapped)).map(_.profileId).toSet === Set(1L, 2L))
   }
 
+  test("keptPairs: a standing exclusion beats the promotion gate") {
+    import spark.implicits._
+    val stats = Seq(
+      (1L, 11L, 10L, 0L, 10L, 1.0),  // perfect precision — but excluded
+      (1L, 12L, 10L, 0L, 10L, 1.0))
+      .toDF("profileId", "targetId", "tp", "fp", "total", "prec")
+    val kept = PatternStats.keptPairs(stats, PatternStats.Config(),
+      excludedPairs = Set((1L, 11L))).collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 12L)))
+  }
+
   test("value-prob ladder: trusted prior, veto, and neutral-when-rare") {
     import spark.implicits._
     // corpus: "paris" occurs 4×, gold as city 4× → prob 1.0 → trusted (10000)

@@ -175,6 +175,24 @@ class PatternMatcherSpec extends AnyFunSuite {
     assert(hits.exists(_.value == "1997"))
   }
 
+  test("pair exclusion list: an excluded high-precision pair never matches") {
+    // the reference's `filter` table (sql/ie-mysql.sql:16-20): standing exclusions
+    // beat every other gate, including explicit allow-listing
+    val ctx = pat(1, ":token|string|founded", ":token|string|in", Grid.Target)
+    val tgt = Pattern(11L, Vector(":number"), "T", 1, "g", 1.0, 0, 0, 1)
+    val g = gridOf("Acme was founded in 1997")
+    val idx = PatternMatcher.buildIndex(Seq(ctx))
+    val tgts = Map("T" -> IndexedSeq(PatternMatcher.compile(tgt)))
+    val open = PatternMatcher.matchPairs(g, idx, tgts)
+    assert(open.exists(_.value == "1997"))
+    val excluded = PatternMatcher.matchPairs(g, idx, tgts,
+      allowedPairs = Some(Set((1L, 11L))), excludedPairs = Set((1L, 11L)))
+    assert(excluded.isEmpty)
+    val cascadeExcluded = PatternMatcher.matchPairsCascaded(g, idx, tgts,
+      excludedPairs = Set((1L, 11L)))
+    assert(cascadeExcluded.isEmpty)
+  }
+
   test("trailing punct trim and all-caps guard") {
     assert(PatternMatcher.trimTrailingPunct("1997,") === "1997")
     assert(PatternMatcher.trimTrailingPunct("Acme Corp") === "Acme Corp")

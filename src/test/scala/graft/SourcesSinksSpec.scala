@@ -89,6 +89,58 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     assert(annots.filter(_.annotType == "Token").forall(_.value.length <= 500))
   }
 
+  test("P7 cleanDocs: trim + whitespace-collapse rewrite (golden)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  hello   world \t two\n\nlines  "),
+      (2L, "already clean"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = graft.ingest.Normalize.cleanDocs(docs, "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) === "hello world two lines")
+    assert(got(2L) === "already clean")
+    assert(got(3L) === "")
+    // trim-only mode reproduces the reference's exact CleanDocs transform
+    val trimOnly = graft.ingest.Normalize.cleanDocs(docs, "text",
+      collapseWhitespace = false).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(trimOnly(1L) === "hello   world \t two\n\nlines")
+  }
+
+  test("precedence dedup: validated supersedes auto at the same site, whatever the score") {
+    import spark.implicits._
+    val rows = Seq(
+      // same site (url, pred, begin, end): auto has the HIGHER score but validated wins
+      ("AutoCo", "founded", "1999", "u1", 10, 14, 7L, 0.99, "msa-ie"),
+      ("GoldCo", "founded", "1998", "u1", 10, 14, -1L, 0.50, "validation-tool"),
+      // equal provenance rank: best score wins, atomically
+      ("A", "ceo", "alice", "u2", 0, 5, 1L, 0.6, "msa-ie"),
+      ("B", "ceo", "bob", "u2", 0, 5, 2L, 0.9, "msa-ie"),
+      // unlisted provenance ranks weakest
+      ("C", "hq", "nyc", "u3", 0, 3, 3L, 1.0, "mystery"),
+      ("D", "hq", "sfo", "u3", 0, 3, 4L, 0.1, "msa-ie"))
+      .toDF("subj", "pred", "obj", "url", "begin", "end", "profileId", "score",
+        "provenance")
+    val got = Materialize.dedupPrecedence(rows).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("subj"),
+        r.getAs[String]("obj"), r.getAs[String]("provenance"))).toSet
+    assert(got === Set(
+      ("u1", "GoldCo", "1998", "validation-tool"),
+      ("u2", "B", "bob", "msa-ie"),
+      ("u3", "D", "sfo", "msa-ie")))
+  }
+
+  test("element-repeat ordinals per (url, subj, pred) slot in document order") {
+    import spark.implicits._
+    val rows = Seq(
+      ("S", "founder", "x", "u1", 5, 6, 1L, 1.0),
+      ("S", "founder", "y", "u1", 2, 3, 1L, 1.0),
+      ("S", "other", "z", "u1", 0, 1, 1L, 1.0))
+      .toDF("subj", "pred", "obj", "url", "begin", "end", "profileId", "score")
+    val got = Materialize.withElementRepeat(rows).collect()
+      .map(r => (r.getAs[String]("obj"), r.getAs[Int]("element_repeat"))).toSet
+    assert(got === Set(("y", 0), ("x", 1), ("z", 0)))
+  }
+
   test("resumable materialize on an EMPTY triple set returns an empty checkpoint table") {
     import spark.implicits._
     val path = tmpDir() + "/empty_triples"

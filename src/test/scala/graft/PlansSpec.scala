@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Executable plan-regression guard: the PLANS.md evidence turned into assertions, so a
+ * scale-killer (an unpartitioned global window, a silent cartesian join, lost filter
+ * pushdown, a de-broadcast join, a native kernel falling out of the plan) fails
+ * `sbt test` instead of waiting for a reviewer's eyeball.
+ *
+ * Logical guards run over EVERY oracle query; string guards pin the headline physical
+ * plans. sf0.001 keeps planning instant — the guards are about plan SHAPE, which is
+ * scale-invariant here (broadcast thresholds far above these dims at every SF we run).
+ */
+class PlansSpec extends AnyFunSuite with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // the three statistics queries return eagerly-computed local relations (no plan to
+  // guard, and building them runs the full extraction pipeline); q28 executes its CC
+  // iterations at build time. Their component plans are guarded via q19/q27/q30 specs.
+  private val skip = Set("q28_cc_neardup", "q30_pair_stats", "q31_value_priors",
+    "q32_eval_scores")
+
+  // q22 is the DELIBERATE broadcast brute-force baseline (query side broadcast against
+  // every embedding row) — the one sanctioned non-equi join in the battery
+  private val crossJoinAllowed = Set("q22_cosine_topk")
+
+  private def df(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  private def formatted(name: String): String =
+    df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("every query plan: no unpartitioned window, no condition-less join") {
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { name =>
+      val plan = df(name).queryExecution.optimizedPlan
+      plan.collect { case w: LWindow => w }.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name: UNPARTITIONED window — every learned-pattern/topk window must " +
+            "partition, or it funnels the corpus through one task (the round-1 " +
+            "GenMSA regression class)")
+      }
+      if (!crossJoinAllowed(name))
+        plan.collect { case j: Join => j }.foreach { j =>
+          assert(j.condition.nonEmpty,
+            s"$name: condition-less join — a cartesian product at corpus scale")
+        }
+    }
+  }
+
+  test("q01: filter + projection reach the parquet scan") {
+    val p = formatted("q01_scan_prune")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(l_returnflag,R)"),
+      s"filter pushdown lost:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"),
+      s"column pruning lost (scan reads more than the 4 needed columns):\n$p")
+    assert(p.contains("[codegen id :"))
+  }
+
+  test("q03: both dim joins broadcast; no sort-merge of the fact side") {
+    val p = formatted("q03_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"de-broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join appeared:\n$p")
+  }
+
+  test("q06: window top-1 keeps the group-limit pushdown") {
+    val p = formatted("q06_window_top1")
+    assert(p.contains("WindowGroupLimit"),
+      s"WindowGroupLimit gone — full sort of every group:\n$p")
+  }
+
+  test("q08: range join plans as hash join on the equality key, not a loop join") {
+    val p = formatted("q08_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated:\n$p")
+  }
+
+  test("q19: near-dup stays bucketed — no cross join anywhere") {
+    val p = formatted("q19_jaccard_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs blow-up:\n$p")
+  }
+
+  test("q23/q26: native kernels stay in the plan inside codegen spans") {
+    val p26 = formatted("q26_mention_count")
+    assert(p26.contains("ahocorasick_matches"), s"native gazetteer kernel gone:\n$p26")
+    // (codegen-compilability of the kernel itself is guarded by FunctionsSpec under
+    //  codegen.fallback=false + CODEGEN_ONLY; AQE-wrapped explain hides codegen ids)
+    val p23 = formatted("q23_ann_lsh")
+    assert(p23.contains("lsh_bucket"), s"native LSH kernel gone:\n$p23")
+    assert(!p23.contains("CartesianProduct"))
+  }
+
+  test("q24: bucketing computed once — self-join reuses the exchange (AQE final plan)") {
+    val d = df("q24_cosine_neardup")
+    assert(!formatted("q24_cosine_neardup").contains("CartesianProduct"))
+    d.collect() // exchange reuse is an AQE runtime decision — inspect the FINAL plan
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"lsh_bucket shuffle now computed twice:\n$p")
+  }
+}

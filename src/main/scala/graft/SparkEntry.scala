@@ -273,6 +273,21 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("clean_text"),
           length(col("text")).cast("long").as("n_chars"))),
 
+    // ---- shallow chunker: NP/VP/PP spans per doc (syntax-label producer) ----
+    "q34_chunk_spans" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = graft.nlp.Tokenizer.scan(text)
+          graft.nlp.Chunker.chunk(toks, text).map(c =>
+            (id, c.cat, c.until - c.from))
+        }
+        .toDF("doc_id", "cat", "width")
+        .groupBy("doc_id", "cat")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("width")).as("n_tokens"))
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -730,6 +745,62 @@ object SparkEntry {
                 CAST(len(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
                   AS n_chars
          FROM documents""",
+
+    // Declarative twin of the serial chunker scan (equivalence argued per-rule:
+    // NP = maximal unconsumed-content run, left-extended by one adjacent determiner;
+    // VP = maximal aux run plus one adjacent participle-shaped content token, which
+    // that run CONSUMES out of the following NP; PP = preposition adjacent to an NP)
+    "q34_chunk_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          pos AS (SELECT doc_id, unnest(tk) AS tok,
+                         generate_subscripts(tk, 1) AS i FROM toks),
+          cls AS (SELECT doc_id, i, tok,
+                    CASE WHEN tok IN ('the','a','an','this','that','these','those',
+                           'its','his','her','their','our','your','my','each',
+                           'every','some','any','no') THEN 'det'
+                         WHEN tok IN ('of','in','on','at','by','for','with','from',
+                           'to','as','into','over','under','between','through',
+                           'during','against','about') THEN 'prep'
+                         WHEN tok IN ('is','are','was','were','be','being','been',
+                           'am','has','have','had','do','does','did','will','would',
+                           'shall','should','can','could','may','might','must')
+                           THEN 'aux'
+                         WHEN tok IN ('and','or','but','nor','so','yet') THEN 'conj'
+                         ELSE 'content' END AS c,
+                    (len(tok) > 4 AND (tok LIKE '%ing' OR tok LIKE '%ed')) AS pshape
+                  FROM pos),
+          lagd AS (SELECT *, lag(c) OVER (PARTITION BY doc_id ORDER BY i) AS pc
+                   FROM cls),
+          marked AS (SELECT *,
+                       (c = 'content' AND pshape AND pc = 'aux') AS consumed
+                     FROM lagd),
+          runs AS (SELECT doc_id, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+                   FROM marked WHERE c = 'content' AND NOT consumed),
+          np0 AS (SELECT doc_id, min(i) AS b, max(i) AS e
+                  FROM runs GROUP BY doc_id, g),
+          np AS (SELECT n.doc_id,
+                   CASE WHEN d.c = 'det' THEN n.b - 1 ELSE n.b END AS b, n.e
+                 FROM np0 n LEFT JOIN marked d
+                   ON d.doc_id = n.doc_id AND d.i = n.b - 1),
+          auxr AS (SELECT doc_id, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+                   FROM marked WHERE c = 'aux'),
+          vp0 AS (SELECT doc_id, min(i) AS b, max(i) AS e
+                  FROM auxr GROUP BY doc_id, g),
+          vp AS (SELECT v.doc_id, v.b,
+                   CASE WHEN coalesce(m.consumed, FALSE) THEN v.e + 1 ELSE v.e END AS e
+                 FROM vp0 v LEFT JOIN marked m
+                   ON m.doc_id = v.doc_id AND m.i = v.e + 1),
+          pp AS (SELECT n.doc_id, n.b - 1 AS b, n.e
+                 FROM np n JOIN marked p
+                   ON p.doc_id = n.doc_id AND p.i = n.b - 1 AND p.c = 'prep'),
+          allc AS (SELECT doc_id, 'np' AS cat, b, e FROM np
+                   UNION ALL SELECT doc_id, 'vp', b, e FROM vp
+                   UNION ALL SELECT doc_id, 'pp', b, e FROM pp)
+          SELECT doc_id, cat, count(*) AS n_chunks,
+                 CAST(sum(e - b + 1) AS BIGINT) AS n_tokens
+          FROM allc GROUP BY doc_id, cat""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

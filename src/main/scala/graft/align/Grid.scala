@@ -90,10 +90,22 @@ object Grid {
     val targetRanges = targetSpans.flatMap(s => colRange(s._1, s._2))
     val cols = tokens.zipWithIndex.map { case (t, ci) =>
       // (label, span, off) entries; exact duplicates collapse, but the same label from
-      // two OVERLAPPING annotations keeps both entries (different span/off)
-      val entries = collection.mutable.LinkedHashSet.empty[(String, Int, Int)]
-      def add(l: String, lo: Int, hi: Int): Unit =
-        entries += ((l, hi - lo + 1, ci - lo))
+      // two OVERLAPPING annotations keeps both entries (different span/off).
+      // Flat parallel buffers with a linear dedup scan: this runs per token of every
+      // page — no boxed tuples or hash sets in the hot kernel (stacks are ≤~10 deep)
+      val lblB = new collection.mutable.ArrayBuffer[String](8)
+      val spnB = new collection.mutable.ArrayBuffer[Int](8)
+      val offB = new collection.mutable.ArrayBuffer[Int](8)
+      def add(l: String, lo: Int, hi: Int): Unit = {
+        val span = hi - lo + 1
+        val off = ci - lo
+        var i = 0
+        while (i < lblB.length) {
+          if (spnB(i) == span && offB(i) == off && lblB(i) == l) return
+          i += 1
+        }
+        lblB += l; spnB += span; offB += off
+      }
       // token feature tracks, most specific first
       t.features.get("string").foreach(v => add(label("token", "string", v), ci, ci))
       t.features.get("root").foreach(v => add(label("token", "root", v), ci, ci))
@@ -119,8 +131,7 @@ object Grid {
       targetRanges.foreach { case (lo, hi) =>
         if (lo <= ci && ci <= hi) add(Target, lo, hi)
       }
-      val es = entries.toArray
-      GridCol(t.begin, t.end, es.map(_._1), t.value, es.map(_._2), es.map(_._3))
+      GridCol(t.begin, t.end, lblB.toArray, t.value, spnB.toArray, offB.toArray)
     }
     val withSentinels =
       GridCol(sentBegin, sentBegin, Array(Start)) +:

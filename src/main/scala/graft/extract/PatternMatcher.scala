@@ -69,6 +69,11 @@ object PatternMatcher {
     }
     private val required: Array[Int] = compiled.map(_.literals.distinct.size).toArray
 
+    /** Does any pattern reference a chunker/parser label? When false, extraction-time
+      * grids can skip the chunking pass entirely (its labels could never match). */
+    lazy val needsSyntax: Boolean =
+      compiled.exists(_.pattern.toks.exists(_.startsWith(":syntaxtreenode")))
+
     /** @param missSlack lenient-mode slack: forward candidates missing up to this
       *        many literals (ref `hits >= size − maxGaps − 3`,
       *        ProfileInvertedIndex.java:308-333), floored at one present literal so

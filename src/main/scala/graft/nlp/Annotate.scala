@@ -52,7 +52,8 @@ object Annotate {
    *        before sentence grouping.
    */
   def annotateSentences(pages: Dataset[Page], gaz: Gazetteer,
-      extraByUrl: Map[String, Seq[Annotation]] = Map.empty)(
+      extraByUrl: Map[String, Seq[Annotation]] = Map.empty,
+      withChunks: Boolean = true)(
       implicit spark: SparkSession): Dataset[graft.model.SentenceAnnots] = {
     import spark.implicits._
     val gazB = spark.sparkContext.broadcast(gaz)
@@ -61,7 +62,7 @@ object Annotate {
       val g = gazB.value
       val extra = extraB.value
       it.flatMap { case (url, text) =>
-        val annots = annotateOne(url, text, g) ++ extra.getOrElse(url, Nil)
+        val annots = annotateOne(url, text, g, withChunks) ++ extra.getOrElse(url, Nil)
         graft.mention.Sentences.group(url, annots)
       }
     }
@@ -86,7 +87,8 @@ object Annotate {
     val toks = Tokenizer.scan(text)
     val lookups = gaz.annotate(url, text, toks, firstId = base.length)
     val chunks =
-      if (withChunks) Chunker.annotate(url, text, firstId = base.length + lookups.length)
+      if (withChunks)
+        Chunker.annotate(url, text, firstId = base.length + lookups.length, toks = toks)
       else Vector.empty
     base ++ lookups ++ chunks
   }

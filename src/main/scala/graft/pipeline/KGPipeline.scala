@@ -104,8 +104,12 @@ object KGPipeline {
     // allSents feeds both the matcher and the subject resolution join; rawTriples feeds
     // both the CC edge derivation and the final canonical output — persist both or
     // every downstream action recomputes the whole extraction (observed 7× wall-clock
-    // without these).
-    val allSents = Annotate.annotateSentences(pages, gaz)
+    // without these. The corpus-wide pass chunks only when a surviving pattern can
+    // actually match syntax labels — learning always chunks (trainSents), extraction
+    // pays the per-page chunk scan only when it buys recall.
+    val needSyntax = (finalPatterns ++ tgtPatterns)
+      .exists(_.toks.exists(_.startsWith(":syntaxtreenode")))
+    val allSents = Annotate.annotateSentences(pages, gaz, withChunks = needSyntax)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val upgraded = finalPatterns.map(p => p -> Extract.toRelationPattern(p))
     val relPatterns = upgraded.collect { case (_, Some(rel)) => rel }

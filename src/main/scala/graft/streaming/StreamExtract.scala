@@ -55,7 +55,9 @@ object StreamExtract {
       index: PatternMatcher.Index, prm: PatternMatcher.Params = PatternMatcher.Params(),
       subjectMajorType: String = "entity",
       relIndex: PatternMatcher.Index = StreamExtract.EmptyIndex): Vector[Triple] = {
-    val annots = Annotate.annotateOne(url, text, gaz)
+    // chunking costs a per-page scan; skip it unless some pattern can match its labels
+    val annots = Annotate.annotateOne(url, text, gaz,
+      withChunks = index.needsSyntax || relIndex.needsSyntax)
     val sents = Sentences.group(url, annots.toVector)
 
     // two-slot relation patterns: subject bound by the match, emitted directly

@@ -47,16 +47,18 @@ object GenMSA {
 
   /**
    * Learn patterns from sentences whose annotations include gold target spans with
-   * provenance `goldProvenance`. Gold target annotations define both the target type
+   * provenance in `goldProvenances` (human-validated plus e.g. `dup-propagated`
+   * spans from [[Propagate]]). Gold target annotations define both the target type
    * (annotType) and its span.
    */
-  def learn(sentences: Dataset[SentenceAnnots], goldProvenance: String = "gold",
+  def learn(sentences: Dataset[SentenceAnnots],
+      goldProvenances: Set[String] = Set("gold"),
       cfg: Config = Config())(implicit spark: SparkSession): Dataset[Pattern] = {
     import spark.implicits._
 
     // (annotType, sentence) pairs that contain a gold target of that type
     val train = sentences.flatMap { s =>
-      s.annots.filter(_.provenance == goldProvenance).map(_.annotType).distinct
+      s.annots.filter(a => goldProvenances(a.provenance)).map(_.annotType).distinct
         .map(t => (t, s))
     }.toDF("annotType", "sent")
 
@@ -71,7 +73,7 @@ object GenMSA {
       .groupByKey { case (t, _, b) => (t, b) }
       .flatMapGroups { (key: (String, Int), it: Iterator[(String, SentenceAnnots, Int)]) =>
         val sents = it.map(_._2).toVector.sortBy(s => (s.url, s.sentBegin))
-        alignBlock(key._1, sents, goldProvenance, cfg).iterator
+        alignBlock(key._1, sents, goldProvenances, cfg).iterator
       }
       .toDF("annotType", "toks", "profileType")
 
@@ -127,10 +129,10 @@ object GenMSA {
    *    [":number"] for year targets), later paired with context profiles at match time.
    */
   def alignBlock(annotType: String, sents: Vector[SentenceAnnots],
-      goldProvenance: String, cfg: Config): Vector[(String, Seq[String], Int)] = {
+      goldProvenances: Set[String], cfg: Config): Vector[(String, Seq[String], Int)] = {
     val goldSpans = sents.map { s =>
       s -> s.annots
-        .filter(a => a.provenance == goldProvenance && a.annotType == annotType)
+        .filter(a => goldProvenances(a.provenance) && a.annotType == annotType)
         .map(a => (a.begin, a.end))
     }
     val ctxGrids = goldSpans.flatMap { case (s, targets) =>

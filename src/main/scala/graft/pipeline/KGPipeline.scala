@@ -47,7 +47,10 @@ object KGPipeline {
   def run(pages: Dataset[Page], goldAnnots: Dataset[Annotation], gaz: Gazetteer,
       msaCfg: GenMSA.Config = GenMSA.Config(),
       statsCfg: PatternStats.Config = PatternStats.Config(),
-      priorsCfg: graft.learn.ValueProbs.Config = graft.learn.ValueProbs.Config())(
+      priorsCfg: graft.learn.ValueProbs.Config = graft.learn.ValueProbs.Config(),
+      // which provenances count as training gold: human-validated plus spans
+      // propagated onto near-duplicate docs by propagateGold (ref dupFlag pipeline)
+      goldProvenances: Set[String] = Set("gold", "dup-propagated"))(
       implicit spark: SparkSession): Result = {
     import spark.implicits._
 
@@ -66,7 +69,7 @@ object KGPipeline {
 
     // 3. learn patterns on the gold slice: context profiles (profileType 0) AND target
     // profiles (profileType 1) — the reference's pair model
-    val patterns = GenMSA.learn(trainSents, "gold", msaCfg)
+    val patterns = GenMSA.learn(trainSents, goldProvenances, msaCfg)
     val learned = patterns.collect().toSeq // small by construction (post minRows gate)
     // subsumption filter (ref BestPatterns.readProfiles): drop context profiles whose
     // token sequence contains a shorter surviving profile - redundant at match time
@@ -190,7 +193,8 @@ object KGPipeline {
       nBuckets: Int = 16,
       msaCfg: GenMSA.Config = GenMSA.Config(),
       statsCfg: PatternStats.Config = PatternStats.Config(),
-      priorsCfg: graft.learn.ValueProbs.Config = graft.learn.ValueProbs.Config())(
+      priorsCfg: graft.learn.ValueProbs.Config = graft.learn.ValueProbs.Config(),
+      goldProvenances: Set[String] = Set("gold", "dup-propagated"))(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cp = graft.runtime.StageCheckpoint(stageDir)
@@ -207,7 +211,7 @@ object KGPipeline {
       pages.join(goldUrls, Seq("url"), "left_semi").as[Page], gaz, goldByUrl)
 
     val learned = cp.materialize("patterns", fingerprint) {
-      GenMSA.learn(trainSents, "gold", msaCfg).toDF()
+      GenMSA.learn(trainSents, goldProvenances, msaCfg).toDF()
     }.as[graft.model.Pattern].collect().toSeq
     val ctxPatterns = GenMSA.subsumptionFilter(
       learned.filter(p => p.profileType == 0 || p.profileType == 3))

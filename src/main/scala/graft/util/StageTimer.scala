@@ -38,7 +38,7 @@ object StageTimer {
       ts.count(); ts
     }
     val patterns = timed("genMSA.learn") {
-      graft.learn.GenMSA.learn(trainSents, "gold", graft.learn.GenMSA.Config())
+      graft.learn.GenMSA.learn(trainSents, Set("gold"), graft.learn.GenMSA.Config())
     }
     val learned = timed("patterns.collect") { patterns.collect().toSeq }
     println(s"[stage]   learned=${learned.size}")

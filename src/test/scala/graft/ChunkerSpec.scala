@@ -54,7 +54,7 @@ class ChunkerSpec extends AnyFunSuite with SparkTest {
         num.value, Map.empty, "gold", 1.0)
       graft.model.SentenceAnnots(url, 0, text.length, base :+ gold)
     })
-    val learned = GenMSA.learn(sents, goldProvenance = "gold").collect()
+    val learned = GenMSA.learn(sents, Set("gold")).collect()
     val ctxWithSyntax = learned.filter(p =>
       p.profileType == 0 && p.toks.exists(_.startsWith(":syntaxtreenode|cat|np")))
     assert(ctxWithSyntax.nonEmpty,

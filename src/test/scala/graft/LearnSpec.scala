@@ -63,6 +63,35 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     assert(got(("thing", "rare"))._3 === 0L)
   }
 
+  test("value-prob vocabulary cap keeps the top-N by gold count; overflow dropped") {
+    import spark.implicits._
+    val texts = Seq("aa bb cc aa bb aa")
+    val sents = spark.createDataset(texts.zipWithIndex.map { case (t, i) =>
+      graft.model.SentenceAnnots(s"u$i", 0, t.length,
+        graft.nlp.Tokenizer.annotate(s"u$i", t).filter(_.annotType == "Token"))
+    })
+    // gold counts: aa=3, bb=2, cc=1 → cap 2 keeps aa, bb; cc is dropped (logged)
+    val gold = Seq.fill(3)(("t", "aa")) ++ Seq.fill(2)(("t", "bb")) :+ (("t", "cc"))
+    val got = graft.learn.ValueProbs.compute(sents, gold.toDF("annotType", "value"),
+      graft.learn.ValueProbs.Config(minGlobalCount = 1, maxVocabulary = 2))
+      .select("value").collect().map(_.getString(0)).toSet
+    assert(got === Set("aa", "bb"))
+  }
+
+  test("a gold value the occurrence pass cannot find gets the NEUTRAL prior, not 1.0") {
+    import spark.implicits._
+    // corpus tokens are "new" "york"; the gold value "new-york" tokenizes to ONE
+    // automaton entry that never matches the stream → occurrence count 0. The old
+    // clamp turned that into total=gold → a minted trusted prior of 1.0 for exactly
+    // the value whose measurement failed; it must be neutral (0) instead.
+    val sents = spark.createDataset(Seq(graft.model.SentenceAnnots("u1", 0, 30,
+      graft.nlp.Tokenizer.annotate("u1", "new york new york new york")
+        .filter(_.annotType == "Token"))))
+    val gold = Seq.fill(3)(("city", "new-york")).toDF("annotType", "value")
+    val row = graft.learn.ValueProbs.compute(sents, gold).collect().head
+    assert(row.getLong(4) === 0L, s"minted prior: $row")
+  }
+
   test("prior veto suppresses low-prior mentions; dictionary pass adds trusted values") {
     import spark.implicits._
     val ms = spark.createDataset(Seq(
@@ -189,7 +218,7 @@ class LearnSpec extends AnyFunSuite with SparkTest {
     }
     val ds = spark.createDataset(sents)
     val cfg = graft.learn.GenMSA.Config(trimSize = 2, minRows = 1, fullSentence = true)
-    val learned = graft.learn.GenMSA.learn(ds, "gold", cfg).collect()
+    val learned = graft.learn.GenMSA.learn(ds, Set("gold"), cfg).collect()
     val types = learned.map(_.profileType).toSet
     assert(types.contains(0) && types.contains(3), s"types=$types")
     // the type-3 profile covers more context columns than the trimmed type-0 one

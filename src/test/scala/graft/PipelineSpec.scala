@@ -37,6 +37,33 @@ class PipelineSpec extends AnyFunSuite with SparkTest {
       goldTriples.diff(got).take(5).mkString("; "))
   }
 
+  test("e2e + propagation: gold flows to near-dup pages and feeds learning; gate holds") {
+    import spark.implicits._
+    val all = CorpusGen.pages(50)
+    val train = all.take(15)
+    // mirror pages: near-duplicate documents of the training slice with NO gold of
+    // their own — the reference's dupFlag scenario (AnnotateDuplicate)
+    val mirrors = train.map(gp => gp.page.copy(url = gp.page.url + "?mirror"))
+    val pages = spark.createDataset(all.map(_.page) ++ mirrors)
+    val goldAnnots = spark.createDataset(train.flatMap(CorpusGen.goldAnnotations))
+
+    val enlarged = KGPipeline.propagateGold(pages, goldAnnots, CorpusGen.gazetteer)(spark)
+    val n0 = goldAnnots.count(); val n1 = enlarged.count()
+    assert(n1 > n0, s"nothing propagated ($n0 -> $n1)")
+    assert(enlarged.filter(_.url.endsWith("?mirror")).count() > 0,
+      "no span landed on a mirror page")
+
+    // propagated spans (provenance dup-propagated) must actually feed learning
+    val r = KGPipeline.run(pages, enlarged, CorpusGen.gazetteer)(spark)
+    val goldTriples = all.flatMap(_.gold).map(t => (t.subj, t.pred, t.obj)).toSet
+    val got = r.canonical.collect().map(t => (t.subj, t.pred, t.obj)).toSet
+    val tp = got.intersect(goldTriples).size.toDouble
+    val prec = if (got.isEmpty) 0.0 else tp / got.size
+    val rec = tp / goldTriples.size
+    info(f"propagated=${n1 - n0} P=$prec%.3f R=$rec%.3f")
+    assert(prec >= 0.95 && rec >= 0.95, f"gate failed with propagation: P=$prec%.3f R=$rec%.3f")
+  }
+
   test("byte-identity: per-url normalized text hashes are frozen (golden)") {
     val p = CorpusGen.pages(3)
     val hashes = p.map(gp => graft.ingest.Normalize.sha256(

@@ -739,17 +739,23 @@ object SparkEntry {
                            ELSE 0 END AS BIGINT) AS f1_bp
           FROM lv, (VALUES ('after_merge'), ('ALL')) ty(annot_type)""",
 
+    // trim = the reference String.trim semantics (every char <= U+0020), matching
+    // Normalize.cleanDocs exactly — NOT engine trim(), which strips spaces only
     "q33_clean_docs" ->
-      """SELECT doc_id,
-                regexp_replace(trim(text), '\s+', ' ', 'g') AS clean_text,
-                CAST(len(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
-                  AS n_chars
-         FROM documents""",
+      """WITH c AS (SELECT doc_id,
+                regexp_replace(regexp_replace(text,
+                  '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '\s+', ' ', 'g') AS t
+           FROM documents)
+         SELECT doc_id, t AS clean_text, CAST(len(t) AS BIGINT) AS n_chars FROM c""",
 
     // Declarative twin of the serial chunker scan (equivalence argued per-rule:
     // NP = maximal unconsumed-content run, left-extended by one adjacent determiner;
     // VP = maximal aux run plus one adjacent participle-shaped content token, which
-    // that run CONSUMES out of the following NP; PP = preposition adjacent to an NP)
+    // that run CONSUMES out of the following NP; PP = preposition adjacent to an NP).
+    // SCOPE: like every oracle in this file, the whitespace-split tokenization is
+    // equivalent to Tokenizer.scan ONLY on this corpus (pure lowercase alnum + single
+    // spaces — verified: zero punctuation / mixed-alnum tokens at every SF); a corpus
+    // with punctuation would need the split mirrored before trusting the twin.
     "q34_chunk_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
           pos AS (SELECT doc_id, unnest(tk) AS tok,

@@ -87,7 +87,8 @@ object DocExtract {
         val g = gazB.value
         it.flatMap { case (id, text) =>
           graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
-            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g,
+              withChunks = index.needsSyntax)
             graft.mention.Sentences.group(s"synth://doc/$id", annots).flatMap { s =>
               val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
               PatternMatcher.matchAll(grid, index)
@@ -118,7 +119,10 @@ object DocExtract {
         val g = gazB.value
         it.flatMap { case (id, text) =>
           graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
-            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            // the statistics consumers match seeded token/lookup patterns only —
+            // chunk labels could never match, so skip the per-doc chunk scan
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g,
+              withChunks = false)
             graft.mention.Sentences.group(s"synth://doc/$id", annots)
           }
         }
@@ -150,7 +154,10 @@ object DocExtract {
       f: Dataset[SentenceAnnots] => DataFrame)(implicit spark: SparkSession): DataFrame =
     cacheKey match {
       case Some(k) =>
-        val sents = sentCache.getOrElseUpdate(k,
+        // scope the entry to THIS SparkSession (applicationId): a cached Dataset must
+        // never be served to a different/restarted session, where its plan is dead
+        val key = spark.sparkContext.applicationId + "|" + k
+        val sents = sentCache.getOrElseUpdate(key,
           sentences(docs, idCol, textCol, kws)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         detach(f(sents))
@@ -299,7 +306,8 @@ object DocExtract {
         val g = gazB.value
         it.flatMap { case (id, text) =>
           graft.ingest.Normalize.normalize(text).toSeq.flatMap { norm =>
-            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g)
+            val annots = Annotate.annotateOne(s"synth://doc/$id", norm, g,
+              withChunks = index.needsSyntax)
             graft.mention.Sentences.group(s"synth://doc/$id", annots).flatMap { s =>
               val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
               PatternMatcher.matchAll(grid, index).map(h =>

@@ -44,7 +44,10 @@ object Normalize {
   def cleanDocs(docs: org.apache.spark.sql.DataFrame, textCol: String,
       collapseWhitespace: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val trimmed = trim(col(textCol))
+    // the reference's String.trim strips every char <= U+0020, while Spark's trim()
+    // strips SPACES only — a tab/newline-edged doc would survive it. Use the control
+    // character class explicitly so trim-only mode really is the reference transform.
+    val trimmed = regexp_replace(col(textCol), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
     val cleaned = if (collapseWhitespace)
       regexp_replace(trimmed, "\\s+", " ") else trimmed
     docs.withColumn(textCol, cleaned)

@@ -65,7 +65,10 @@ object ValueProbs {
           .map(_.value.toLowerCase).toIndexedSeq
         acB.value.findAll(stream).map { case (_, _, dictId) => valuesB.value(dictId) }
       }.groupByKey(identity).count().toDF("value", "total_cnt")
-    val inVocab = goldCnt.filter(col("value").isInCollection(values))
+    // vocabulary membership via broadcast semi-join — an isInCollection over up to
+    // maxVocabulary literals would inline a ~100k-element In predicate into the plan
+    val inVocab = goldCnt.join(
+      broadcast(values.toDF("value")), Seq("value"), "left_semi")
     inVocab.join(occ, Seq("value"), "left")
       .withColumn("occ_cnt", coalesce(col("total_cnt"), lit(0L)))
       .withColumn("total_cnt", greatest(col("occ_cnt"), col("gold_cnt")))

@@ -167,7 +167,9 @@ object KGPipeline {
     // symmetric propagation: validated spans flow both directions of each pair
     val pairs = p0.select(col("id_a").as("url_a"), col("id_b").as("url_b"))
       .unionByName(p0.select(col("id_b").as("url_a"), col("id_a").as("url_b")))
-    val sents = Annotate.annotateSentences(pages, gaz)
+    // Propagate aligns plain TOKEN streams (K6) — chunk labels are unused here,
+    // so the corpus-wide pass skips the per-page chunk scan
+    val sents = Annotate.annotateSentences(pages, gaz, withChunks = false)
     goldAnnots.unionByName(
       graft.learn.Propagate.propagate(sents, goldAnnots, pairs))
   }
@@ -194,7 +196,13 @@ object KGPipeline {
       msaCfg: GenMSA.Config = GenMSA.Config(),
       statsCfg: PatternStats.Config = PatternStats.Config(),
       priorsCfg: graft.learn.ValueProbs.Config = graft.learn.ValueProbs.Config(),
-      goldProvenances: Set[String] = Set("gold", "dup-propagated"))(
+      goldProvenances: Set[String] = Set("gold", "dup-propagated"),
+      // whether the MATERIALIZED corpus sentence table carries chunk labels. It is
+      // written before patterns exist (it is the resume anchor), so the caller
+      // decides: true (default) keeps syntax-anchored patterns matchable on resume;
+      // false skips the per-page chunk scan when the pattern space is known not to
+      // need it (run() decides this automatically from the surviving pattern set)
+      chunkCorpus: Boolean = true)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cp = graft.runtime.StageCheckpoint(stageDir)
@@ -202,7 +210,7 @@ object KGPipeline {
     // fused annotate→sentence stage (see run()): one narrow pass, no annotation
     // shuffle; the materialized sentence table is the resume point
     val allSentsDF = cp.materialize("sentences", fingerprint) {
-      Annotate.annotateSentences(pages, gaz).toDF()
+      Annotate.annotateSentences(pages, gaz, withChunks = chunkCorpus).toDF()
     }
     val goldByUrl: Map[String, Seq[Annotation]] =
       goldAnnots.collect().toSeq.groupBy(_.url)

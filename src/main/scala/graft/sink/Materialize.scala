@@ -142,12 +142,19 @@ object Materialize {
     }
   }
 
-  /** Does the checkpoint table exist on disk? An explicit existence probe — genuine
-    * read failures on an existing table are NOT caught anywhere in this sink. */
+  /** Does the checkpoint table exist on disk WITH at least one committed data file?
+    * A crash during the very first checkpoint append can leave the directory present
+    * but empty (only `_temporary`/markers) — that is the legitimate "nothing
+    * completed" state, not a readable table. An explicit probe, so genuine read
+    * failures on a real table are NOT caught anywhere in this sink. */
   private def checkpointExists(checkpointPath: String)(
       implicit spark: SparkSession): Boolean = {
     val p = new org.apache.hadoop.fs.Path(checkpointPath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Resume: which buckets still need writing given an existing checkpoint table. */

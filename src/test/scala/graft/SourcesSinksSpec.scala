@@ -94,16 +94,21 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     val docs = Seq(
       (1L, "  hello   world \t two\n\nlines  "),
       (2L, "already clean"),
-      (3L, "   ")).toDF("doc_id", "text")
+      (3L, "   "),
+      (4L, "\t\ntab and newline edged\n\t")).toDF("doc_id", "text")
     val got = graft.ingest.Normalize.cleanDocs(docs, "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got(1L) === "hello world two lines")
     assert(got(2L) === "already clean")
     assert(got(3L) === "")
+    assert(got(4L) === "tab and newline edged")
     // trim-only mode reproduces the reference's exact CleanDocs transform
+    // (String.trim strips every char <= U+0020 — tabs and newlines too, which
+    // Spark's space-only trim() would have left in place)
     val trimOnly = graft.ingest.Normalize.cleanDocs(docs, "text",
       collapseWhitespace = false).collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(trimOnly(1L) === "hello   world \t two\n\nlines")
+    assert(trimOnly(4L) === "tab and newline edged")
   }
 
   test("precedence dedup: validated supersedes auto at the same site, whatever the score") {

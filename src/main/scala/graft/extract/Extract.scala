@@ -85,7 +85,8 @@ object Extract {
           .map { h =>
             Triple(h.subjValue, h.pattern.annotType,
               PatternMatcher.trimTrailingPunct(h.value),
-              s.url, h.targetBegin, h.targetEnd, h.pattern.profileId, h.pattern.score)
+              s.url, h.targetBegin, h.targetEnd, h.pattern.profileId, h.pattern.score,
+              graft.model.Provenance.Auto)
           }
       }
     }
@@ -154,7 +155,8 @@ object Extract {
             val prec = pairs((h.context.profileId, h.target.profileId))
             Triple(h.subjValue, h.context.annotType,
               PatternMatcher.trimTrailingPunct(h.value),
-              s.url, h.targetBegin, h.targetEnd, h.context.profileId, prec)
+              s.url, h.targetBegin, h.targetEnd, h.context.profileId, prec,
+              graft.model.Provenance.Auto)
           }
       }
     }
@@ -257,7 +259,8 @@ object Extract {
    * quadratic is bounded per sentence, the reference's own bound.
    */
   def triples(sentences: Dataset[SentenceAnnots], ms: Dataset[Mention],
-      subjectMajorType: String = "entity")(
+      subjectMajorType: String = "entity",
+      provenance: String = graft.model.Provenance.Auto)(
       implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._
     val subjects = sentences.flatMap { s =>
@@ -289,7 +292,7 @@ object Extract {
           }
         }
         Triple(if (bestVal != null) bestVal else host, m.annotType, m.value,
-          url, m.begin, m.end, m.profileId, m.score)
+          url, m.begin, m.end, m.profileId, m.score, provenance)
       }
     }
   }
@@ -297,7 +300,8 @@ object Extract {
   /** Join+window formulation of [[triples]] — kept as the declarative parity twin
     * (cross-checked in RelationSpec/e2e); shuffles the mention×subject product. */
   def triplesViaJoin(sentences: Dataset[SentenceAnnots], ms: Dataset[Mention],
-      subjectMajorType: String = "entity")(
+      subjectMajorType: String = "entity",
+      provenance: String = graft.model.Provenance.Auto)(
       implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._
     // candidate subjects per page: entity Lookup spans
@@ -325,7 +329,7 @@ object Extract {
         when($"inSent", $"subjVal")
           .otherwise(regexp_extract($"url", "^[a-z]+://([^/]+)", 1)).as("subj"),
         $"annotType".as("pred"), $"value".as("obj"), $"url", $"begin", $"end",
-        $"profileId", $"score")
+        $"profileId", $"score", lit(provenance).as("provenance"))
       .as[Triple]
   }
 }

@@ -87,7 +87,11 @@ final case class Mention(
     profileId: Long,
     score: Double)
 
-/** Output triple. Ref analog: frame_instance_data, src/msa/PopulateFrame.java:39-40. */
+/** Output triple. Ref analog: frame_instance_data, src/msa/PopulateFrame.java:39-40.
+  * `provenance` mirrors the reference's frame-row provenance pointer ("validation-tool"
+  * for human-validated evidence, "msa-ie" for auto extraction) and drives the
+  * validated-over-auto precedence rule in [[graft.sink.Materialize]]
+  * (ref src/msa/PopulateFrame.java:168-192). */
 final case class Triple(
     subj: String,
     pred: String,
@@ -96,7 +100,19 @@ final case class Triple(
     begin: Int,
     end: Int,
     profileId: Long,
-    score: Double)
+    score: Double,
+    provenance: String = Provenance.Auto)
+
+/** Provenance vocabulary (ref config/ie.properties provenance/targetProvenance/
+  * autoProvenance; values at src/msa/Annotation.java:22). */
+object Provenance {
+  /** Human-validated gold (ref `validation-tool`). */
+  val Gold = "validation-tool"
+  /** Auto-extracted by the learned patterns (ref `msa-ie`). */
+  val Auto = "msa-ie"
+  /** Gold propagated onto a near-duplicate doc (ref `duplicate-sentences-util`). */
+  val Propagated = "dup-propagated"
+}
 
 /** Per-stage/partition checkpoint row (replaces the reference's document_status state
   * machine, sql/utilities-sqlserver.sql:1-2). */

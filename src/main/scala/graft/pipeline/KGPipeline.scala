@@ -132,7 +132,13 @@ object KGPipeline {
         statsCfg.matcher), priorVeto)
     val mentions = Extract.mergeAdjacent(Extract.dedupMentions(
       patMentions.unionByName(Extract.dictionaryMentions(allSents, dictEntries))))
+    // validated gold spans ALSO materialize triples (ref PopulateFrame scans
+    // validated + auto annotations, /root/reference/src/msa/PopulateFrame.java:144-192);
+    // their provenance outranks auto rows at the same site in Materialize's
+    // precedence dedup. One small cogroup per provenance class over the train slice.
+    val goldTriples = goldTriplesOf(trainSents, goldAnnots, goldProvenances)
     val rawTriples = Extract.triples(allSents, mentions).unionByName(relTriples)
+      .unionByName(goldTriples)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 6. canonicalize subjects: blocking-join edges + connected components
@@ -144,10 +150,32 @@ object KGPipeline {
       .join(comp, rawTriples("subj") === comp("node"), "left")
       .withColumn("subj2", coalesce(col("component"), col("subj")))
       .select(col("subj2").as("subj"), col("pred"), col("obj"), col("url"),
-        col("begin"), col("end"), col("profileId"), col("score"))
+        col("begin"), col("end"), col("profileId"), col("score"), col("provenance"))
       .as[Triple]
 
     Result(patterns, finalPatterns, rawTriples, canonical)
+  }
+
+  /** Triples from the validated gold spans themselves (ref PopulateFrame's
+    * targetProvenance scan): each gold annotation becomes a mention, subject-resolved
+    * sentence-locally like any extraction, stamped with its provenance class so the
+    * materialization precedence rule can rank it above auto evidence. */
+  private def goldTriplesOf(trainSents: Dataset[graft.model.SentenceAnnots],
+      goldAnnots: Dataset[Annotation], goldProvenances: Set[String])(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val provClasses = Seq(
+      "gold" -> graft.model.Provenance.Gold,
+      "dup-propagated" -> graft.model.Provenance.Propagated)
+    provClasses
+      .filter { case (src, _) => goldProvenances.contains(src) }
+      .map { case (src, prov) =>
+        val ms = goldAnnots.filter(_.provenance == src).map(a =>
+          graft.model.Mention(a.url, a.annotType, a.begin, a.end, a.value, -1L, a.score))
+        Extract.triples(trainSents, ms, provenance = prov)
+      }
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[Triple])
   }
 
   /**
@@ -272,7 +300,8 @@ object KGPipeline {
           statsCfg.matcher), priorVeto)
       val mentions = Extract.mergeAdjacent(Extract.dedupMentions(
         patMentions.unionByName(Extract.dictionaryMentions(allSents, dictEntries))))
-      Extract.triples(allSents, mentions).unionByName(relTriples).toDF()
+      Extract.triples(allSents, mentions).unionByName(relTriples)
+        .unionByName(goldTriplesOf(trainSents, goldAnnots, goldProvenances)).toDF()
     }.as[Triple]
 
     val forms = rawTriples.select($"subj".as("form"))
@@ -282,7 +311,7 @@ object KGPipeline {
       .join(comp, rawTriples("subj") === comp("node"), "left")
       .withColumn("subj2", coalesce(col("component"), col("subj")))
       .select(col("subj2").as("subj"), col("pred"), col("obj"), col("url"),
-        col("begin"), col("end"), col("profileId"), col("score"))
+        col("begin"), col("end"), col("profileId"), col("score"), col("provenance"))
       .as[Triple]
     Materialize.writeResumable(canonical, outPath, nBuckets)
   }

@@ -24,10 +24,23 @@ object Materialize {
   def withBucket(triples: Dataset[Triple], nBuckets: Int): DataFrame =
     triples.toDF().withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
 
-  /** Dedup on (subj, pred, obj) keeping the best-scored evidence, then write. */
+  /** Default provenance precedence (lower = stronger): human-validated beats auto,
+    * ref src/msa/PopulateFrame.java:168-192; unlisted provenances rank weakest. */
+  val DefaultProvenanceRank: Map[String, Int] =
+    Map(graft.model.Provenance.Gold -> 0, graft.model.Provenance.Propagated -> 1,
+      graft.model.Provenance.Auto -> 2)
+
+  private def rankOf(provenanceRank: Map[String, Int]) =
+    provenanceRank.foldLeft(lit(Int.MaxValue)) { case (acc, (p, r)) =>
+      when(col("provenance") === p, lit(r)).otherwise(acc)
+    }
+
+  /** Site precedence + graph dedup, then write. Two aligned shuffles: the site pass
+    * is url-keyed, the graph pass subj-keyed — both reduce before the exchange. */
   def write(triples: Dataset[Triple], path: String, nBuckets: Int = 16)(
       implicit spark: SparkSession): DataFrame = {
-    val deduped = dedup(triples)
+    import spark.implicits._
+    val deduped = dedup(dedupPrecedence(triples.toDF()).as[Triple])
     // persist: the bucketed result feeds two actions (data write + checkpoint agg);
     // without it the whole upstream pipeline recomputes per action
     val bucketed = withBucket(deduped, nBuckets)
@@ -44,14 +57,24 @@ object Materialize {
     out
   }
 
-  /** Order-insensitive dedup: one row per (subj, pred, obj), max score, min evidence
-    * pointer — deterministic at any parallelism (no dropDuplicates arbitrariness). */
-  def dedup(triples: Dataset[Triple])(implicit spark: SparkSession): Dataset[Triple] = {
+  /** Order-insensitive dedup: one row per (subj, pred, obj); the surviving evidence
+    * row is picked ATOMICALLY (one ordered struct — strongest provenance first, then
+    * best score, then a total tiebreak over every remaining field), so the emitted
+    * (url, begin, end, profileId, score, provenance) always come from ONE input row —
+    * never a per-column chimera — and the choice is identical at any parallelism. */
+  def dedup(triples: Dataset[Triple],
+      provenanceRank: Map[String, Int] = DefaultProvenanceRank)(
+      implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._
     triples.toDF()
       .groupBy($"subj", $"pred", $"obj")
-      .agg(min($"url").as("url"), min($"begin").as("begin"), min($"end").as("end"),
-        min($"profileId").as("profileId"), max($"score").as("score"))
+      .agg(max_by(
+        struct($"url", $"begin", $"end", $"profileId", $"score", $"provenance"),
+        struct(-rankOf(provenanceRank), $"score", $"url", $"begin", $"end",
+          $"profileId")).as("w"))
+      .select($"subj", $"pred", $"obj", $"w.url".as("url"), $"w.begin".as("begin"),
+        $"w.end".as("end"), $"w.profileId".as("profileId"), $"w.score".as("score"),
+        $"w.provenance".as("provenance"))
       .as[Triple]
   }
 
@@ -67,13 +90,10 @@ object Materialize {
    * @param provenanceRank lower = stronger; unlisted provenances rank weakest
    */
   def dedupPrecedence(triples: DataFrame,
-      provenanceRank: Map[String, Int] = Map("validation-tool" -> 0, "msa-ie" -> 1))(
+      provenanceRank: Map[String, Int] = DefaultProvenanceRank)(
       implicit spark: SparkSession): DataFrame = {
-    val rankExpr = provenanceRank.foldLeft(lit(Int.MaxValue)) { case (acc, (p, r)) =>
-      when(col("provenance") === p, lit(r)).otherwise(acc)
-    }
     triples
-      .withColumn("_rank", rankExpr)
+      .withColumn("_rank", rankOf(provenanceRank))
       .groupBy(col("url"), col("pred"), col("begin"), col("end"))
       .agg(max_by(
         struct(col("subj"), col("obj"), col("profileId"), col("score"),
@@ -112,7 +132,8 @@ object Materialize {
    */
   def writeResumable(triples: Dataset[Triple], path: String, nBuckets: Int = 16)(
       implicit spark: SparkSession): DataFrame = {
-    val bucketed = withBucket(dedup(triples), nBuckets)
+    import spark.implicits._
+    val bucketed = withBucket(dedup(dedupPrecedence(triples.toDF()).as[Triple]), nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pending = pendingBuckets(bucketed, path + "_checkpoints")
       .collect().map(_.getInt(0)) // ≤ nBuckets rows — driver-safe

@@ -100,9 +100,9 @@ object CorpusGen {
       val (eb, ee) = spanOf(emps, "employs")
       val subj = ent
       val gold = Vector(
-        Triple(subj, "founded-year", year, url, fb, fe, -1L, 1.0),
-        Triple(subj, "hq-city", city, url, hb, he, -1L, 1.0),
-        Triple(subj, "employee-count", emps, url, eb, ee, -1L, 1.0))
+        Triple(subj, "founded-year", year, url, fb, fe, -1L, 1.0, graft.model.Provenance.Gold),
+        Triple(subj, "hq-city", city, url, hb, he, -1L, 1.0, graft.model.Provenance.Gold),
+        Triple(subj, "employee-count", emps, url, eb, ee, -1L, 1.0, graft.model.Provenance.Gold))
       val spans = Vector(
         GoldSpan(url, "founded-year", fb, fe, year),
         GoldSpan(url, "hq-city", hb, he, city),

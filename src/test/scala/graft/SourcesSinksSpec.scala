@@ -134,6 +134,28 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
       ("u3", "D", "sfo", "msa-ie")))
   }
 
+  test("write: validated evidence supersedes auto through the FULL sink path") {
+    import spark.implicits._
+    import graft.model.Provenance
+    val path = tmpDir() + "/prec_write"
+    val triples = spark.createDataset(Seq(
+      // same site, auto scores higher — the validated row must still win the site
+      Triple("AutoCo", "founded", "1999", "u1", 10, 14, 7L, 0.99, Provenance.Auto),
+      Triple("GoldCo", "founded", "1998", "u1", 10, 14, -1L, 0.50, Provenance.Gold),
+      // same (subj,pred,obj) at two sites, gold + auto: surviving evidence row
+      // must be the validated one (atomic winner, not a score argmax)
+      Triple("Acme", "hq", "Gotham", "u2", 0, 6, 9L, 0.97, Provenance.Auto),
+      Triple("Acme", "hq", "Gotham", "u3", 5, 11, -1L, 0.60, Provenance.Gold)))
+    Materialize.write(triples, path, 4)
+    val back = spark.read.parquet(path)
+      .select("subj", "pred", "obj", "url", "score", "provenance").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3), r.getString(5))).toSet
+    assert(back === Set(
+      ("GoldCo", "1998", "u1", Provenance.Gold),
+      ("Acme", "Gotham", "u3", Provenance.Gold)),
+      s"precedence did not survive the sink path: $back")
+  }
+
   test("element-repeat ordinals per (url, subj, pred) slot in document order") {
     import spark.implicits._
     val rows = Seq(

@@ -38,6 +38,15 @@ object SparkEntry {
   private def statsCacheKey(dir: String): String =
     dir + "|merge|" + statsKws.mkString(",")
 
+  /** q34's inline micro-docs: exercise the chunker's VP (aux run + consumed
+    * participle) and PP (prep + NP) arms, which the corpus text never triggers.
+    * Pure lowercase alnum + single spaces, so the oracle's whitespace split stays
+    * equivalent to Tokenizer.scan on these rows too. The SAME strings appear as
+    * VALUES in the q34 oracle — keep them in sync. */
+  private val chunkExtraDocs = Seq(
+    (-1L, "the report was computed from the table and the analysts were running in the market"),
+    (-2L, "analysts should have reported growth in markets and customers may be waiting for the products no"))
+
   /** Flagship: pattern-based triple extraction over the sf0.001 documents corpus via
     * the full normalize → tokenize → sentence-grid → broadcast-matcher path. */
   def entry(spark: SparkSession): DataFrame = {
@@ -274,9 +283,14 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"))),
 
     // ---- shallow chunker: NP/VP/PP spans per doc (syntax-label producer) ----
+    // The corpus exercises only the NP arm (it has determiners but no aux/prep/
+    // participles), so two inline micro-docs — same lowercase-alnum/single-space
+    // shape, identical VALUES in the oracle — drive the VP and PP arms through the
+    // same oracle check.
     "q34_chunk_spans" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents").select(col("doc_id").cast("long"), col("text"))
+        .unionByName(chunkExtraDocs.toDF("doc_id", "text"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           val toks = graft.nlp.Tokenizer.scan(text)
@@ -286,6 +300,46 @@ object SparkEntry {
         .toDF("doc_id", "cat", "width")
         .groupBy("doc_id", "cat")
         .agg(count(lit(1)).as("n_chunks"), sum(col("width")).as("n_tokens"))
+    }),
+
+    // ---- frame-store precedence + element-repeat (PopulateFrame rules): candidate
+    // triple rows derived from the corpus (auto row at every trigger site; a
+    // validated row on even docs), site precedence, then repeat ordinals ----
+    "q35_precedence" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(filter(split(lower(trim(col("text"))), "\\s+"),
+            x => length(x) > 0)).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+      val trig = toks
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .withColumn("prv", lag("tok", 1).over(w))
+        .filter(col("tok") === "merge" && col("nxt").isNotNull)
+      def cand(src: DataFrame, subj: String, obj: Column, profileId: Long,
+          score: Double, prov: String): DataFrame =
+        src.select(col("doc_id").as("url"), lit("follows_merge").as("pred"),
+          col("i").cast("int").as("begin"), (col("i") + 1).cast("int").as("end"),
+          lit(subj).as("subj"), obj.as("obj"), lit(profileId).as("profileId"),
+          lit(score).as("score"), lit(prov).as("provenance"))
+      val auto = cand(trig, "auto", col("nxt"), 7L, 0.99, graft.model.Provenance.Auto)
+      val gold = cand(trig.filter(col("doc_id") % 2 === 0), "gold",
+        coalesce(col("prv"), lit("none")), -1L, 0.5, graft.model.Provenance.Gold)
+      val sites = graft.sink.Materialize.dedupPrecedence(auto.unionByName(gold))
+      graft.sink.Materialize.withElementRepeat(sites)
+        .select(col("url").cast("long").as("doc_id"),
+          col("begin").cast("long").as("b"), col("end").cast("long").as("e"),
+          col("subj"), col("obj"), col("provenance"),
+          col("element_repeat").cast("long").as("element_repeat"))
+    }),
+
+    // ---- similarity: IVF ANN (coarse-quantizer cells, probe-limited search) ----
+    "q36_ann_ivf" -> ((s, d) => {
+      val corpus = t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(corpus, corpus.filter(col("id") < 20), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("dot_q"),
+          col("rank").cast("long").as("rank"))
     }),
 
     // ---- canonicalization: connected components over near-dup edges ----
@@ -757,7 +811,13 @@ object SparkEntry {
     // spaces — verified: zero punctuation / mixed-alnum tokens at every SF); a corpus
     // with punctuation would need the split mirrored before trusting the twin.
     "q34_chunk_spans" ->
-      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT * FROM (VALUES
+                   (-1, 'the report was computed from the table and the analysts were running in the market'),
+                   (-2, 'analysts should have reported growth in markets and customers may be waiting for the products no'))
+                   v(doc_id, text)),
+          toks AS (SELECT doc_id, $toksLowerSql AS tk FROM docs),
           pos AS (SELECT doc_id, unnest(tk) AS tok,
                          generate_subscripts(tk, 1) AS i FROM toks),
           cls AS (SELECT doc_id, i, tok,
@@ -807,6 +867,64 @@ object SparkEntry {
           SELECT doc_id, cat, count(*) AS n_chunks,
                  CAST(sum(e - b + 1) AS BIGINT) AS n_tokens
           FROM allc GROUP BY doc_id, cat""",
+
+    // Replays dedupPrecedence's atomic winner (rank asc, score desc, then the max_by
+    // struct's lexicographic tiebreak = subj desc, obj desc) and withElementRepeat's
+    // per-(url, subj, pred) document-order ordinals.
+    "q35_precedence" ->
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          pos AS (SELECT doc_id, unnest(tk) AS tok,
+                         generate_subscripts(tk, 1) AS i FROM toks),
+          trig AS (SELECT a.doc_id, a.i, b.tok AS nxt, p.tok AS prv
+                   FROM pos a
+                   JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                   LEFT JOIN pos p ON p.doc_id = a.doc_id AND p.i = a.i - 1
+                   WHERE a.tok = 'merge'),
+          cand AS (
+            SELECT doc_id, i AS b, i + 1 AS e, 'auto' AS subj, nxt AS obj,
+                   2 AS rnk, 99 AS score_c, 'msa-ie' AS provenance FROM trig
+            UNION ALL
+            SELECT doc_id, i, i + 1, 'gold', coalesce(prv, 'none'),
+                   0, 50, 'validation-tool' FROM trig WHERE doc_id % 2 = 0),
+          win AS (SELECT doc_id, b, e, subj, obj, provenance FROM cand
+                  QUALIFY row_number() OVER (PARTITION BY doc_id, b, e
+                           ORDER BY rnk ASC, score_c DESC, subj DESC, obj DESC) = 1)
+          SELECT doc_id, CAST(b AS BIGINT) AS b, CAST(e AS BIGINT) AS e, subj, obj,
+                 provenance,
+                 CAST(row_number() OVER (PARTITION BY doc_id, subj
+                        ORDER BY b, e, obj) - 1 AS BIGINT) AS element_repeat
+          FROM win""",
+
+    "q36_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+          cents AS (SELECT id AS cid, qv AS centv FROM v WHERE id % 25 = 0),
+          dots AS (SELECT a.id, c.cid,
+                     CAST(list_sum(list_transform(list_zip(a.qv, c.centv),
+                       p -> p[1] * p[2])) AS BIGINT) AS dotc
+                   FROM v a, cents c),
+          assigned AS (SELECT id, cid AS cell FROM dots
+                       QUALIFY row_number() OVER (PARTITION BY id
+                                ORDER BY dotc DESC, cid ASC) = 1),
+          probes AS (SELECT id AS query_id, cid AS cell FROM dots WHERE id < 20
+                     QUALIFY row_number() OVER (PARTITION BY id
+                              ORDER BY dotc DESC, cid ASC) <= 2),
+          cand AS (SELECT p.query_id, a.id AS neighbor_id
+                   FROM probes p JOIN assigned a ON a.cell = p.cell
+                   WHERE a.id <> p.query_id),
+          scored AS (SELECT cand.query_id, cand.neighbor_id,
+                       CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+                         p -> p[1] * p[2])) AS BIGINT) AS dot_q
+                     FROM cand JOIN v q ON q.id = cand.query_id
+                               JOIN v c ON c.id = cand.neighbor_id)
+          SELECT query_id, neighbor_id, dot_q,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rank
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot_q DESC, neighbor_id) <= 3""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

@@ -103,6 +103,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * IVF (inverted-file) ANN — the classic coarse-quantizer scale path alongside LSH:
+   * corpus vectors are assigned ONCE to their nearest centroid cell (narrow pass, the
+   * small centroid set broadcast; per-vector argmax is a map-side-combining aggregate,
+   * not a window), queries probe their `nprobe` nearest cells, and exact scoring runs
+   * only within probed cells — an equi-join on the cell id instead of the O(Q·N)
+   * cross product. Centroids are a deterministic corpus subsample (every
+   * `centroidStride`-th id) — the engine-portable stand-in for k-means centroids; the
+   * assign/probe/in-cell-search shape is the real IVF pipeline and is what scales.
+   * Metric: max quantized dot (ties → lower centroid id), same integer space as the
+   * other paths, so the DuckDB oracle replays it exactly.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidStride: Int = 25, nprobe: Int = 2): DataFrame = {
+    val cents = corpus.filter(pmod(col("id"), lit(centroidStride)) === 0)
+      .select(col("id").as("cid"), quantize(col("vec")).as("centv"))
+    val c = corpus.select(col("id").as("neighbor_id"), quantize(col("vec")).as("cv"))
+    // assign: argmax_{cid} dot(cv, centv) — atomic max_by keeps (cell, cv) together
+    val assigned = c.join(broadcast(cents))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cid"), col("cv")),
+        struct(qdot(col("cv"), col("centv")), -col("cid"))).as("w"))
+      .select(col("neighbor_id"), col("w.cid").as("cell"), col("w.cv").as("cv"))
+    // probe: top-nprobe cells per query (query side is small; window is per-query)
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("dotc"), asc("cid"))
+    val probes = queries.select(col("id").as("query_id"), quantize(col("vec")).as("qv"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        qdot(col("qv"), col("centv")).as("dotc"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), qdot(col("cv"), col("qv")).as("dot_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: all pairs whose quantized
     * cosine (scaled to basis points, integer-rounded) >= minCosBp. Blocking via LSH
     * bucket equality keeps it off the O(N²) path. */

@@ -26,8 +26,10 @@ class PlansSpec extends AnyFunSuite with SparkTest {
     "q32_eval_scores")
 
   // q22 is the DELIBERATE broadcast brute-force baseline (query side broadcast against
-  // every embedding row) — the one sanctioned non-equi join in the battery
-  private val crossJoinAllowed = Set("q22_cosine_topk")
+  // every embedding row); q36's corpus×centroid product is the IVF coarse-quantizer
+  // assignment pass (the tiny centroid set broadcast, corpus streams once — O(N·C)
+  // narrow by design). The only sanctioned non-equi joins in the battery.
+  private val crossJoinAllowed = Set("q22_cosine_topk", "q36_ann_ivf")
 
   private def df(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
 

@@ -65,6 +65,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ivfTopK probing ALL cells == brute force; limited probes keep high recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val df = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("id", "vec")
+    val queries = df.filter(col("id") < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("dot_q"), r.getAs[Int]("rank"))).toSet
+    // stride 10 → 8 centroid cells; probing all of them must reproduce brute force
+    // exactly (every neighbor lives in SOME probed cell)
+    val full = Similarity.ivfTopK(df, queries, k = 3, centroidStride = 10, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("dot_q"), r.getAs[Int]("rank"))).toSet
+    assert(full === exact, "all-cells IVF diverged from brute force")
+    // the scale path: 2 probes out of 8 cells still finds most true neighbors on
+    // clustered data (cells align with clusters)
+    val probed = Similarity.ivfTopK(df, queries, k = 3, centroidStride = 10, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.map(t => (t._1, t._2)).intersect(probed).size.toDouble / exact.size
+    assert(recall >= 0.6, f"IVF recall $recall%.2f too low")
+  }
+
   test("lshTopK recall vs brute force is substantial on clustered data") {
     import spark.implicits._
     // clustered vectors → LSH buckets keep near neighbors together

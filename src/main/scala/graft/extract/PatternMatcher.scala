@@ -32,9 +32,20 @@ object PatternMatcher {
     *        gridSize - maxGaps`, MSAUtils.java:471): up to N literal elements may go
     *        unmatched — skipped outright or consuming one non-matching column — and
     *        the inverted index forwards candidates missing up to N literals. At least
-    *        one literal must still match. 0 (default) = strict exact matching. */
+    *        one literal must still match. 0 (default) = strict exact matching.
+    * @param containmentSuppression W3 suppression rule: false (default) drops a hit
+    *        whose target span OVERLAPS an accepted one; true replays the reference's
+    *        exact rule — drop only when the span is CONTAINED in an accepted span
+    *        (ref targetRangeList, /root/reference/src/msa/ProfileMatcher.java:705-730),
+    *        so partially-overlapping staggered hits survive. */
   final case class Params(maxGapSpan: Int = 3, maxTargetLen: Int = 5, maxGridLen: Int = 300,
-      cascadeRounds: Int = 1, maxMissedLiterals: Int = 0)
+      cascadeRounds: Int = 1, maxMissedLiterals: Int = 0,
+      containmentSuppression: Boolean = false)
+
+  /** W3 suppression predicate between an accepted span [ab,ae) and a new span [b,e). */
+  private def collides(prm: Params, ab: Int, ae: Int, b: Int, e: Int): Boolean =
+    if (prm.containmentSuppression) ab <= b && ae >= e
+    else ab < e && ae > b
 
   final case class Compiled(pattern: Pattern, elems: Vector[String], literals: Vector[String])
 
@@ -288,7 +299,7 @@ object PatternMatcher {
                 !excludedPairs.contains(pairKey)
               if (allowed && targetMatches(grid, from, until, tc, prm)) {
                 val overlaps = suppressOverlaps &&
-                  accepted.exists(h => h.targetBegin < s.te && h.targetEnd > s.tb)
+                  accepted.exists(h => collides(prm, h.targetBegin, h.targetEnd, s.tb, s.te))
                 val key = (pairKey._1, pairKey._2, s.tb, s.te)
                 if (!overlaps && !seen.contains(key)) {
                   seen += key
@@ -318,11 +329,12 @@ object PatternMatcher {
       matchOneFull(grid, c, prm)
         .sortBy(s => (s.tb, s.te - s.tb)) // leftmost, then shortest
         .foreach { s =>
-          // drop any hit overlapping an already-accepted span: higher-priority
+          // drop any hit colliding with an already-accepted span: higher-priority
           // (longer) patterns own their sites (ref targetRangeList,
-          // ProfileMatcher.java:527-540)
+          // ProfileMatcher.java:527-540); collision = overlap by default, exact
+          // containment in reference-faithful mode (prm.containmentSuppression)
           val overlaps = suppressOverlaps &&
-            accepted.exists(h => h.targetBegin < s.te && h.targetEnd > s.tb)
+            accepted.exists(h => collides(prm, h.targetBegin, h.targetEnd, s.tb, s.te))
           if (!overlaps) {
             val value = coveredText(grid, s.tb, s.te)
             val subjValue = if (s.sb >= 0) coveredText(grid, s.sb, s.se) else ""

@@ -19,7 +19,8 @@ final case class TimedTriple(
     end: Int,
     profileId: Long,
     score: Double,
-    warcTs: java.sql.Timestamp)
+    warcTs: java.sql.Timestamp,
+    provenance: String = graft.model.Provenance.Auto)
 
 /**
  * Structured Streaming ingest: continuous extraction over an unbounded stream of pages.
@@ -150,7 +151,7 @@ object StreamExtract {
         raw.flatMap(graft.ingest.Normalize.normalize).toVector.flatMap { t =>
           extractPage(p.url, t, g, idx, prm, relIndex = rel).map(tr =>
             TimedTriple(tr.subj, tr.pred, tr.obj, tr.url, tr.begin, tr.end,
-              tr.profileId, tr.score, p.warc_ts))
+              tr.profileId, tr.score, p.warc_ts, tr.provenance))
         }
       }
     }

@@ -193,6 +193,31 @@ class PatternMatcherSpec extends AnyFunSuite {
     assert(cascadeExcluded.isEmpty)
   }
 
+  test("W3 containment mode keeps staggered overlaps; overlap mode drops them") {
+    // two contexts produce staggered spans sharing one token: "b c" and "c d"
+    val g = gridOf("x a b c d y")
+    val ctx1 = pat(1, ":token|string|a", Grid.Target)
+    val ctx2 = pat(2, Grid.Target, ":token|string|y")
+    val tWW = Pattern(21, Vector(":token|kind|word", ":token|kind|word"),
+      "T", 1, "g", 1.0, 0, 0, 1)
+    val idx = PatternMatcher.buildIndex(Seq(ctx1, ctx2))
+    val targets = Map("T" -> IndexedSeq(PatternMatcher.compile(tWW)))
+    // default (overlap) rule: the second staggered span collides and is dropped
+    assert(PatternMatcher.matchPairs(g, idx, targets).size === 1)
+    // reference rule (containment only, ProfileMatcher.java:705-730): both survive
+    val both = PatternMatcher.matchPairs(g, idx, targets,
+      PatternMatcher.Params(containmentSuppression = true))
+    assert(both.map(_.value).toSet === Set("b c", "c d"))
+    // …but a strictly CONTAINED span is still suppressed in containment mode
+    val long = pat(3, ":token|string|founded", ":token|string|in", Grid.Target)
+    val short = pat(4, ":token|string|in", Grid.Target)
+    val idx2 = PatternMatcher.buildIndex(Seq(long, short))
+    val g2 = gridOf("Acme was founded in 1997")
+    val hits2 = PatternMatcher.matchAll(g2, idx2,
+      PatternMatcher.Params(containmentSuppression = true))
+    assert(hits2.size === 1 && hits2.head.pattern.profileId === 3)
+  }
+
   test("trailing punct trim and all-caps guard") {
     assert(PatternMatcher.trimTrailingPunct("1997,") === "1997")
     assert(PatternMatcher.trimTrailingPunct("Acme Corp") === "Acme Corp")

@@ -342,6 +342,29 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ---- skew: salted two-phase aggregation over the domain key ----
+    // Per-domain corpus stats shaped as the hot-domain case: the salted decomposition
+    // (partial per (source, salt(doc_id)), merge per source) must equal a plain
+    // GROUP BY — which is exactly what the oracle computes.
+    "q37_salted_agg" -> ((s, d) =>
+      graft.scale.Skew.saltedAgg(t(s, d, "documents"),
+        groupCols = Seq("source"), saltFrom = Seq(col("doc_id")), buckets = 8,
+        aggs = Seq(
+          graft.scale.Skew.cnt("n_docs"),
+          graft.scale.Skew.sumOf(col("n_chars"), "sum_chars"),
+          graft.scale.Skew.maxOf(col("n_chars"), "max_chars"),
+          graft.scale.Skew.minOf(col("n_chars"), "min_chars")))),
+
+    // ---- skew: salted fact×dim join (dim replicated ×buckets, fact salted) ----
+    "q38_salted_join" -> ((s, d) =>
+      graft.scale.Skew.saltedJoin(
+        fact = t(s, d, "lineitem"), dim = t(s, d, "part"),
+        factKey = "l_partkey", dimKey = "p_partkey",
+        saltFrom = Seq(col("l_orderkey"), col("l_linenumber")), buckets = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"))),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -925,6 +948,18 @@ object SparkEntry {
           FROM scored
           QUALIFY row_number() OVER (PARTITION BY query_id
                    ORDER BY dot_q DESC, neighbor_id) <= 3""",
+
+    "q37_salted_agg" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                max(n_chars) AS max_chars, min(n_chars) AS min_chars
+         FROM documents GROUP BY source""",
+
+    "q38_salted_join" ->
+      """SELECT p_brand, count(*) AS cnt,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

@@ -10,8 +10,10 @@ import graft.model.{Annotation, SentenceAnnots}
  * annotations are already co-located per url, so a single groupByKey(url) + in-group
  * interval sweep replaces millions of per-sentence JDBC round trips. One shuffle on url,
  * then linear in-group work; url is a high-cardinality key so partitions stay balanced
- * (hot-domain skew is handled upstream by salting the page scan, and AQE splits any
- * residual skewed partition).
+ * (a url's group is one page's annotations — hot DOMAINS don't concentrate here, and a
+ * pathological mega-page is a single group by semantic necessity). Keyed stages where a
+ * genuinely hot key must be split use [[graft.scale.Skew]] salted repartition/agg/join;
+ * AQE skew splitting handles residual runtime imbalance.
  *
  * Sentences overrunning into later annotations are merged with following sentences,
  * mirroring ref GenSentences.java:351-366.

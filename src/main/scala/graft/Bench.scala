@@ -39,18 +39,22 @@ object Bench {
     // gives a ~30s local[8] window — comfortably measurement-dominated).
     val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "480000").toInt
 
-    // ---- phase 1: operator battery ----
-    var spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() forces full row materialization — a bare count() would let
-      // Catalyst prune every computed column and time an empty scan.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // ---- phase 1: operator battery (skipped in scaling-only mode) ----
+    val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")
+    val results: Seq[(String, Double)] = if (scalingOnly) Seq.empty else {
+      val spark = session(cpus)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // toRdd.count() forces full row materialization — a bare count() would let
+        // Catalyst prune every computed column and time an empty scan.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      graft.extract.DocExtract.clearSentenceCache()
+      spark.stop()
+      r
     }
-    graft.extract.DocExtract.clearSentenceCache()
-    spark.stop()
 
     // battery-only mode for local iteration (driver runs the full mode per round)
     if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("battery")) {

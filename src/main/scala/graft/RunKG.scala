@@ -6,10 +6,16 @@ import org.apache.spark.sql.SparkSession
  * spark-submit entry point for the full KG-construction job (north rule: "run via
  * spark-submit ... at two cluster sizes").
  *
- * Usage: RunKG [nPages] [outDir] [cores]
+ * Usage: RunKG [nPages] [outDir] [cores] [stageDir]
  * Synthesizes the deterministic corpus (seed 42), runs the full pipeline
  * (annotate → learn → gate → extract → link → canonicalize), materializes
  * subject-bucketed triples + checkpoints under outDir, prints one JSON metrics line.
+ *
+ * With a 4th arg `stageDir`, runs the RESUMABLE production path instead
+ * ([[graft.pipeline.KGPipeline.runCheckpointed]]): every stage materializes through
+ * [[graft.runtime.StageCheckpoint]] under stageDir with per-partition lineage +
+ * counters, and a re-submitted run resumes at its first incomplete stage — the north
+ * rule's long-corpus spark-submit shape.
  */
 object RunKG {
   def main(args: Array[String]): Unit = {
@@ -17,6 +23,7 @@ object RunKG {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_kg_out"
     val cores = if (args.length > 2) args(2).toInt
                 else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val stageDir = if (args.length > 3) Some(args(3)) else None
     implicit val spark: SparkSession = graft.util.Sessions.local(cores, "graft-kg")
     import spark.implicits._
 
@@ -27,11 +34,20 @@ object RunKG {
     val goldAnnots = spark.createDataset(graft.testgen.CorpusGen.pages(nTrain)
       .flatMap(graft.testgen.CorpusGen.goldAnnotations))
 
-    val cps = graft.pipeline.KGPipeline.runAndWrite(
-      pages, goldAnnots, graft.testgen.CorpusGen.gazetteer, outDir)
+    val cps = stageDir match {
+      case Some(sd) =>
+        // fingerprint = the full input/config identity of this synthetic run
+        graft.pipeline.KGPipeline.runCheckpointed(
+          pages, goldAnnots, graft.testgen.CorpusGen.gazetteer,
+          sd, s"corpusgen-seed42-n$nPages-train$nTrain-v1", outDir)
+      case None =>
+        graft.pipeline.KGPipeline.runAndWrite(
+          pages, goldAnnots, graft.testgen.CorpusGen.gazetteer, outDir)
+    }
     val rows = cps.agg(org.apache.spark.sql.functions.sum("rows_out")).head().getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"job":"kg","pages":$nPages,"triples":$rows,"sec":$sec%.2f,""" +
+    val mode = if (stageDir.isDefined) "kg-checkpointed" else "kg"
+    println(f"""{"job":"$mode","pages":$nPages,"triples":$rows,"sec":$sec%.2f,""" +
       f""""docs_per_sec":${nPages / sec}%.1f,"triples_per_sec":${rows / sec}%.1f,"cores":$cores}""")
     spark.stop()
   }

@@ -30,12 +30,21 @@ final class StageCheckpoint(base: String)(implicit spark: SparkSession) {
   private def dataPath(name: String) = s"$base/$name"
   private def lineagePath(name: String) = s"$base/${name}__lineage"
 
-  /** The fingerprint last committed for a stage, if any. */
-  def committedFingerprint(name: String): Option[String] =
-    try {
-      val df = spark.read.parquet(lineagePath(name))
-      df.select(col("fingerprint")).head(1).headOption.map(_.getString(0))
-    } catch { case _: Throwable => None }
+  /** The fingerprint last committed for a stage, if any. The not-yet-created lineage
+    * dir is probed explicitly (same discipline as Materialize.checkpointExists): only
+    * the legitimate "never ran" state reads as None — a transient FS error or a
+    * corrupt lineage file PROPAGATES instead of silently forcing a full recompute. */
+  def committedFingerprint(name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(lineagePath(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) None
+    else spark.read.parquet(lineagePath(name))
+      .select(col("fingerprint")).head(1).headOption.map(_.getString(0))
+  }
 
   /** Per-partition lineage rows of a completed stage. */
   def lineage(name: String): DataFrame = spark.read.parquet(lineagePath(name))
@@ -44,15 +53,27 @@ final class StageCheckpoint(base: String)(implicit spark: SparkSession) {
     if (committedFingerprint(name).contains(fingerprint)) {
       spark.read.parquet(dataPath(name))
     } else {
+      val t0 = System.nanoTime()
       val df = stage
       df.write.mode("overwrite").parquet(dataPath(name))
       val written = spark.read.parquet(dataPath(name))
-      val parts = written.groupBy(spark_partition_id().as("part"))
+      // per-partition lineage + stage counters (rows_total, wall_ms): the north rule's
+      // "per-partition lineage and counters", queryable after the run via lineage(name).
+      // The partial table is one row per partition — persist it, total it with a plain
+      // aggregate (a window over a constant key would constant-fold to an unpartitioned
+      // window), stamp every lineage row with the stage counters.
+      val parts0 = written.groupBy(spark_partition_id().as("part"))
         .agg(count(lit(1)).as("rows"))
+        .persist()
+      val total = parts0.agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+      val parts = parts0
         .withColumn("stage", lit(name))
         .withColumn("fingerprint", lit(fingerprint))
+        .withColumn("rows_total", lit(total))
+        .withColumn("wall_ms", lit((System.nanoTime() - t0) / 1000000L))
         .withColumn("completed_at", current_timestamp())
       parts.write.mode("overwrite").parquet(lineagePath(name))
+      parts0.unpersist()
       written
     }
   }

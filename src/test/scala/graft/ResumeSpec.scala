@@ -23,6 +23,23 @@ class ResumeSpec extends AnyFunSuite with SparkTest {
     val lin = cp.lineage("s1").collect()
     assert(lin.map(_.getAs[Long]("rows")).sum === 2)
     assert(lin.forall(_.getAs[String]("fingerprint") == "fp-B"))
+    // stage counters: every lineage row carries the stage total and a wall-clock
+    assert(lin.forall(_.getAs[Long]("rows_total") === 2L))
+    assert(lin.forall(_.getAs[Long]("wall_ms") >= 0L))
+  }
+
+  test("committedFingerprint: absent lineage reads as None; corrupt lineage propagates") {
+    val cp = graft.runtime.StageCheckpoint(tmp())
+    assert(cp.committedFingerprint("never_ran").isEmpty)
+    // a lineage dir with a corrupt parquet file is NOT the legitimate empty state —
+    // the read failure must propagate, not silently force a recompute
+    val base = tmp()
+    val cp2 = graft.runtime.StageCheckpoint(base)
+    val linDir = java.nio.file.Paths.get(base, "s9__lineage")
+    java.nio.file.Files.createDirectories(linDir)
+    java.nio.file.Files.write(linDir.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes)
+    assertThrows[Exception](cp2.committedFingerprint("s9"))
   }
 
   test("runCheckpointed: crash after stage 1 resumes without recomputing annotations") {

@@ -34,17 +34,10 @@ final class StageCheckpoint(base: String)(implicit spark: SparkSession) {
     * dir is probed explicitly (same discipline as Materialize.checkpointExists): only
     * the legitimate "never ran" state reads as None — a transient FS error or a
     * corrupt lineage file PROPAGATES instead of silently forcing a full recompute. */
-  def committedFingerprint(name: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(lineagePath(name))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (!hasData) None
+  def committedFingerprint(name: String): Option[String] =
+    if (!graft.util.Fs.parquetDataExists(lineagePath(name))) None
     else spark.read.parquet(lineagePath(name))
       .select(col("fingerprint")).head(1).headOption.map(_.getString(0))
-  }
 
   /** Per-partition lineage rows of a completed stage. */
   def lineage(name: String): DataFrame = spark.read.parquet(lineagePath(name))
@@ -62,10 +55,15 @@ final class StageCheckpoint(base: String)(implicit spark: SparkSession) {
       // The partial table is one row per partition — persist it, total it with a plain
       // aggregate (a window over a constant key would constant-fold to an unpartitioned
       // window), stamp every lineage row with the stage counters.
-      val parts0 = written.groupBy(spark_partition_id().as("part"))
+      val parts1 = written.groupBy(spark_partition_id().as("part"))
         .agg(count(lit(1)).as("rows"))
         .persist()
-      val total = parts0.agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+      val total = parts1.agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+      // an EMPTY stage output has zero per-partition rows — commit a sentinel lineage
+      // row anyway, or the fingerprint never reads back and every resume recomputes
+      // this stage (and everything downstream) despite the data being committed
+      val parts0 = if (total > 0) parts1
+        else spark.range(1).select(lit(-1).cast("int").as("part"), lit(0L).as("rows"))
       val parts = parts0
         .withColumn("stage", lit(name))
         .withColumn("fingerprint", lit(fingerprint))
@@ -73,7 +71,7 @@ final class StageCheckpoint(base: String)(implicit spark: SparkSession) {
         .withColumn("wall_ms", lit((System.nanoTime() - t0) / 1000000L))
         .withColumn("completed_at", current_timestamp())
       parts.write.mode("overwrite").parquet(lineagePath(name))
-      parts0.unpersist()
+      parts1.unpersist()
       written
     }
   }

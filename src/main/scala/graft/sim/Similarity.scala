@@ -134,7 +134,11 @@ object Similarity {
         qdot(col("qv"), col("centv")).as("dotc"))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    // NO broadcast hint on the in-cell search: the probe side is Q × nprobe rows —
+    // fine to broadcast for point-lookup workloads, but a corpus-sized query set (the
+    // all-pairs shape) must stay a shuffle equi-join on the cell id. AQE picks
+    // broadcast at runtime whenever the probe side is actually small.
+    val scored = assigned.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), qdot(col("cv"), col("qv")).as("dot_q"))
     val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))

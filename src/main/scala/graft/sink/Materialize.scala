@@ -99,8 +99,12 @@ object Materialize {
         struct(col("subj"), col("obj"), col("profileId"), col("score"),
           col("provenance")),
         // precedence first (negated rank: stronger = larger), then score, then a
-        // deterministic tiebreak
-        struct(-col("_rank"), col("score"), col("subj"), col("obj"))).as("w"))
+        // TOTAL deterministic tiebreak — profileId/provenance included so two rows
+        // agreeing on subj/obj/score (pair precisions are frequently exactly 1.0,
+        // e.g. one row from the mention path and one from the relation path) still
+        // order identically at any parallelism
+        struct(-col("_rank"), col("score"), col("subj"), col("obj"),
+          col("profileId"), col("provenance"))).as("w"))
       .select(col("w.subj").as("subj"), col("pred"), col("w.obj").as("obj"),
         col("url"), col("begin"), col("end"),
         col("w.profileId").as("profileId"), col("w.score").as("score"),
@@ -163,20 +167,11 @@ object Materialize {
     }
   }
 
-  /** Does the checkpoint table exist on disk WITH at least one committed data file?
-    * A crash during the very first checkpoint append can leave the directory present
-    * but empty (only `_temporary`/markers) — that is the legitimate "nothing
-    * completed" state, not a readable table. An explicit probe, so genuine read
-    * failures on a real table are NOT caught anywhere in this sink. */
+  /** Committed-data probe, shared with StageCheckpoint — see
+    * [[graft.util.Fs.parquetDataExists]]. */
   private def checkpointExists(checkpointPath: String)(
-      implicit spark: SparkSession): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(checkpointPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+      implicit spark: SparkSession): Boolean =
+    graft.util.Fs.parquetDataExists(checkpointPath)
 
   /** Resume: which buckets still need writing given an existing checkpoint table. */
   def pendingBuckets(all: DataFrame, checkpointPath: String)(

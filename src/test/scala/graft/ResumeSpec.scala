@@ -28,6 +28,22 @@ class ResumeSpec extends AnyFunSuite with SparkTest {
     assert(lin.forall(_.getAs[Long]("wall_ms") >= 0L))
   }
 
+  test("an EMPTY stage output still commits its fingerprint and resumes") {
+    import spark.implicits._
+    val cp = graft.runtime.StageCheckpoint(tmp())
+    var computed = 0
+    def stage = { computed += 1; Seq.empty[(Int, String)].toDF("k", "v") }
+    val r1 = cp.materialize("s_empty", "fp-A")(stage)
+    assert(r1.count() === 0 && computed === 1)
+    // without the sentinel lineage row, an empty stage's fingerprint never reads back
+    // and every resume recomputes the stage and everything downstream
+    val r2 = cp.materialize("s_empty", "fp-A")(stage)
+    assert(computed === 1, "empty stage must resume, not recompute")
+    assert(r2.count() === 0 && r2.columns.toSeq == Seq("k", "v"))
+    val lin = cp.lineage("s_empty").collect()
+    assert(lin.length === 1 && lin.head.getAs[Long]("rows_total") === 0L)
+  }
+
   test("committedFingerprint: absent lineage reads as None; corrupt lineage propagates") {
     val cp = graft.runtime.StageCheckpoint(tmp())
     assert(cp.committedFingerprint("never_ran").isEmpty)

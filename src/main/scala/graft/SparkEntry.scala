@@ -365,6 +365,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(round(col("l_quantity")).cast("long")).as("sum_qty"))),
 
+    // ---- store maintenance: auto annotations inside duplicate-sentence spans are
+    // dropped (RemoveDupSentAnnots); fixture in 1-based token-index units: kw tokens
+    // are ##auto rows, odd docs carry a SentenceDuplicate span over their first half ----
+    "q39_dedup_annot_store" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(filter(split(lower(trim(col("text"))), "\\s+"),
+            x => length(x) > 0)).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+      val n = toks.groupBy("doc_id").agg(max("i").as("n"))
+      val auto = toks.filter(col("tok").isin(statsKws: _*))
+        .select(col("doc_id").cast("string").as("url"), lit("kw").as("annotType"),
+          col("i").cast("long").as("begin"), (col("i") + 1).cast("long").as("end"),
+          lit("##auto").as("provenance"))
+      val dup = n.filter(col("doc_id") % 2 === 1 && col("n") >= 2)
+        .select(col("doc_id").cast("string").as("url"),
+          lit("SentenceDuplicate").as("annotType"), lit(1L).as("begin"),
+          expr("CAST(1 + n DIV 2 AS BIGINT)").as("end"), lit("human").as("provenance"))
+      graft.sink.Maintenance.removeDupSentAnnots(auto.unionByName(dup))
+        .select(col("url").cast("long").as("doc_id"), col("annotType").as("annot_type"),
+          col("begin").as("b"), col("end").as("e"), col("provenance"))
+    }),
+
+    // ---- store maintenance: gray-region document disable (SkipDocsGrayedOut):
+    // doc_id%3==0 → gray covers the whole token range (coverage arm); doc_id%3==1
+    // with ≥4 tokens → gray covers the first half (disabled iff every kw preload
+    // falls inside it and at least one does) ----
+    "q40_gray_disable" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(filter(split(lower(trim(col("text"))), "\\s+"),
+            x => length(x) > 0)).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+      val n = toks.groupBy("doc_id").agg(max("i").as("n"))
+      def rows(src: DataFrame, ty: String, b: Column, e: Column, v: Column) =
+        src.select(col("doc_id").cast("string").as("url"), lit(ty).as("annotType"),
+          b.cast("long").as("begin"), e.cast("long").as("end"),
+          v.cast("string").as("value"))
+      val tokenRows = rows(toks, "Token", col("i"), col("i") + 1, lit(null))
+      val kwRows = rows(toks.filter(col("tok").isin(statsKws: _*)), "kw",
+        col("i"), col("i") + 1, col("tok"))
+      val grayFull = rows(n.filter(col("doc_id") % 3 === 0), "gray",
+        lit(0L), col("n") + 1, lit(null))
+      val grayHalf = rows(n.filter(col("doc_id") % 3 === 1 && col("n") >= 4), "gray",
+        lit(0L), expr("1 + n DIV 2"), lit(null))
+      graft.sink.Maintenance.disabledDocs(
+          tokenRows.unionByName(kwRows).unionByName(grayFull).unionByName(grayHalf),
+          grayTypes = Seq("gray"), preloadTypes = Seq("kw"))
+        .select(col("url").cast("long").as("doc_id"))
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -960,6 +1012,49 @@ object SparkEntry {
                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+
+    "q39_dedup_annot_store" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          toks AS (SELECT doc_id, unnest(tk) AS tok,
+                          generate_subscripts(tk, 1) AS i, len(tk) AS n FROM tk),
+          kw AS (SELECT doc_id, 'kw' AS annot_type, CAST(i AS BIGINT) AS b,
+                        CAST(i + 1 AS BIGINT) AS e, '##auto' AS provenance
+                 FROM toks
+                 WHERE tok IN ('spark','join','window','filter','table')),
+          dup AS (SELECT DISTINCT doc_id, 'SentenceDuplicate' AS annot_type,
+                         CAST(1 AS BIGINT) AS b, CAST(1 + n // 2 AS BIGINT) AS e,
+                         'human' AS provenance
+                  FROM toks WHERE doc_id % 2 = 1 AND n >= 2)
+          SELECT k.* FROM kw k
+          WHERE NOT EXISTS (SELECT 1 FROM dup d
+                            WHERE d.doc_id = k.doc_id AND k.b >= d.b AND k.e <= d.e)
+          UNION ALL SELECT * FROM dup""",
+
+    "q40_gray_disable" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          toks AS (SELECT doc_id, unnest(tk) AS tok,
+                          generate_subscripts(tk, 1) AS i, len(tk) AS n FROM tk),
+          docs AS (SELECT DISTINCT doc_id, n FROM toks),
+          kw AS (SELECT doc_id, i FROM toks
+                 WHERE tok IN ('spark','join','window','filter','table')),
+          gray AS (SELECT doc_id, 0 AS gb, n + 1 AS ge FROM docs WHERE doc_id % 3 = 0
+                   UNION ALL
+                   SELECT doc_id, 0, 1 + n // 2 FROM docs
+                   WHERE doc_id % 3 = 1 AND n >= 4),
+          flags AS (SELECT d.doc_id,
+                      EXISTS (SELECT 1 FROM kw k JOIN gray g USING (doc_id)
+                              WHERE k.doc_id = d.doc_id
+                                AND k.i >= g.gb AND k.i + 1 <= g.ge) AS removed_any,
+                      EXISTS (SELECT 1 FROM kw k WHERE k.doc_id = d.doc_id
+                              AND NOT EXISTS (SELECT 1 FROM gray g
+                                              WHERE g.doc_id = k.doc_id
+                                                AND k.i >= g.gb
+                                                AND k.i + 1 <= g.ge)) AS surviving,
+                      EXISTS (SELECT 1 FROM gray g WHERE g.doc_id = d.doc_id
+                              AND g.gb = 0 AND g.ge = d.n + 1) AS coverage
+                    FROM docs d)
+          SELECT doc_id FROM flags
+          WHERE (removed_any AND NOT surviving) OR coverage""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

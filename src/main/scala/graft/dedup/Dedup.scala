@@ -142,13 +142,24 @@ object Dedup {
    * The token hash is engine-portable (md5 prefix), so the whole operator has an exact
    * DuckDB oracle twin.
    *
-   * Shape: explode tokens → hash once per token → one groupBy with 60 codegen'd
-   * bit-count sums (map-side partials; the shuffle carries docs × 61 longs) → fold the
-   * majority votes into the signature. Replaces an aggregate/zip_with higher-order
-   * formulation that evaluated interpreted at O(tokens × bits) per row (~10× slower).
-   * Docs with zero tokens keep signature 0 (left join back).
+   * Runs on the NATIVE codegen expression `simhash_md5`
+   * ([[graft.functions.SimhashMd5]]): one JIT-compiled pass per document — no token
+   * explosion, no aggregate, ZERO shuffle. Docs with zero tokens (or null text) keep
+   * signature 0. Bit-identical to the explode + 60-bit-sum aggregate formulation
+   * (kept below as [[simhashAgg]] for parity testing and for sessions without
+   * GraftExtensions).
    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      coalesce(
+        call_function("simhash_md5",
+          filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)),
+        lit(0L)).as("simhash"))
+
+  /** Aggregate formulation of [[simhash]] (explode → md5 per token → one groupBy with
+    * 60 codegen'd bit-count sums; the shuffle carries docs × 61 longs). Same result,
+    * one shuffle — the no-extensions fallback and the kernel's parity oracle. */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(filter(split(lower(trim(col(textCol))), "\\s+"),
           t => length(t) > 0)).as("tok"))

@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashMd5.create(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimhashMd5].getName, "simhash_md5"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimhashMd5.create(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("quantize_i64"),
       new ExpressionInfo(classOf[QuantizeI64].getName, "quantize_i64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

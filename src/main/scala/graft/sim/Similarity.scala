@@ -116,8 +116,14 @@ object Similarity {
    * other paths, so the DuckDB oracle replays it exactly.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidStride: Int = 25, nprobe: Int = 2): DataFrame = {
+      centroidStride: Int = 25, nprobe: Int = 2, maxCentroids: Int = 4096): DataFrame = {
+    // the codebook size must stay FIXED as the corpus grows — a stride-only subsample
+    // has C = N/stride, which silently turns the O(N·C) assignment pass into
+    // O(N²/stride). The ordered limit (TakeOrdered over the already-strided rows)
+    // caps C at maxCentroids regardless of N; at scale pick stride ≈ N/maxCentroids
+    // so the subsample is spread over the whole id range rather than truncated.
     val cents = corpus.filter(pmod(col("id"), lit(centroidStride)) === 0)
+      .orderBy(col("id")).limit(maxCentroids)
       .select(col("id").as("cid"), quantize(col("vec")).as("centv"))
     val c = corpus.select(col("id").as("neighbor_id"), quantize(col("vec")).as("cv"))
     // assign: argmax_{cid} dot(cv, centv) — atomic max_by keeps (cell, cv) together

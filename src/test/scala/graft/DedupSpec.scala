@@ -60,4 +60,20 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
   }
+
+  test("simhash_md5 native kernel == the explode + bit-sum aggregate formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark plans shuffles exchanges and broadcast joins"),
+      (3L, "a a a b"), // multiplicity matters for the majority vote
+      (4L, ""), (5L, "   "), // zero tokens → 0
+      (6L, "single")).toDF("id", "text")
+    val kernel = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashAgg(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === agg)
+    assert(kernel(4L) === 0L && kernel(5L) === 0L)
+  }
 }

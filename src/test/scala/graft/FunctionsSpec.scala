@@ -72,6 +72,30 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("simhash_md5 compiles under CODEGEN_ONLY and matches the driver-side kernel") {
+    val df = spark.range(3)
+      .select(split(concat(lit("tok"), col("id"), lit(" alpha beta")), " ").as("toks"))
+      .select(call_function("simhash_md5", col("toks")).as("sig"))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevProjFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val got = try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      df.collect().map(_.getLong(0)).toSeq
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevProjFactory)
+    }
+    val expected = (0 until 3).map { i =>
+      graft.functions.SimhashMd5.run(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Seq(s"tok$i", "alpha", "beta").map(
+            org.apache.spark.unsafe.types.UTF8String.fromString(_): Any)))
+    }
+    assert(got === expected)
+    assert(got.distinct.size === 3) // per-row token differs → signatures differ
+  }
+
   test("null text and non-foldable terms are handled") {
     import spark.implicits._
     val df = Seq(Some("a merge b"), None).toDF("text")

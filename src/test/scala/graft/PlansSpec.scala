@@ -95,6 +95,9 @@ class PlansSpec extends AnyFunSuite with SparkTest {
     val p23 = formatted("q23_ann_lsh")
     assert(p23.contains("lsh_bucket"), s"native LSH kernel gone:\n$p23")
     assert(!p23.contains("CartesianProduct"))
+    val p21 = formatted("q21_simhash")
+    assert(p21.contains("simhash_md5"),
+      s"native simhash kernel gone (fingerprint stage re-grew a shuffle):\n$p21")
   }
 
   test("q24: bucketing computed once — self-join reuses the exchange (AQE final plan)") {

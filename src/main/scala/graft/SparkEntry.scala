@@ -417,6 +417,21 @@ object SparkEntry {
         .select(col("url").cast("long").as("doc_id"))
     }),
 
+    // ---- quality: Gopher-style per-doc repetition metrics (2-gram) ----
+    "q41_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(t(s, d, "documents"), "doc_id", "text", n = 2)),
+
+    // ---- decontamination: corpus docs sharing a 4-gram with the eval split ----
+    // Eval set = doc_id % 13 == 0 (a small held-out slice of the same table — the
+    // realistic shape: benchmark suite tiny vs corpus, so its shingles broadcast).
+    "q42_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminatedDocs(
+        corpus = docs.filter(col("doc_id") % 13 =!= 0),
+        evalSet = docs.filter(col("doc_id") % 13 === 0),
+        idCol = "doc_id", textCol = "text", n = 4)
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -1055,6 +1070,31 @@ object SparkEntry {
                     FROM docs d)
           SELECT doc_id FROM flags
           WHERE (removed_any AND NOT surviving) OR coverage""",
+
+    "q41_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tk) >= 2
+                    THEN [list_aggregate(tk[i:i+1], 'string_agg', ' ')
+                          for i in range(1, len(tk))]
+                    ELSE CAST([] AS VARCHAR[]) END) AS g
+                FROM tk),
+          c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                 count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_cnt,
+                 CAST(floor((sum(cnt) - count(*)) * 10000.0 / sum(cnt)) AS BIGINT)
+                   AS dup_bp
+          FROM c GROUP BY doc_id""",
+
+    "q42_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          shl AS (SELECT doc_id, $shingles4Sql AS sh FROM toks),
+          sh AS (SELECT doc_id, unnest(sh) AS g FROM shl)
+          SELECT c.doc_id, count(DISTINCT c.g) AS n_hit_shingles,
+                 count(DISTINCT e.doc_id) AS n_eval_docs
+          FROM sh c JOIN sh e ON c.g = e.g
+          WHERE e.doc_id % 13 = 0 AND c.doc_id % 13 <> 0
+          GROUP BY c.doc_id""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

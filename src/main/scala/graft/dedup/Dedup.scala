@@ -129,6 +129,31 @@ object Dedup {
       .select("id_a", "id_b", "jacc_bp")
   }
 
+  /**
+   * Benchmark decontamination: corpus documents sharing at least one word n-gram
+   * shingle with any document of an eval/benchmark set. Training pipelines run this
+   * before every release so evaluation results are not inflated by test data leaking
+   * into the training corpus. Returns the docs to drop (or flag):
+   * (doc_id, n_hit_shingles, n_eval_docs) — how many distinct shingles were
+   * contaminated and how many eval docs they touch.
+   *
+   * Scale shape: the eval side is benchmark suites — megabytes against a 100 TB
+   * corpus — so its distinct shingle set is BROADCAST; the corpus side is a narrow
+   * scan + shingle explode + broadcast hash join (no corpus-side shuffle for the
+   * match), and the only shuffle is the final per-doc aggregation keyed by doc_id.
+   */
+  def contaminatedDocs(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val ev = evalSet
+      .select(col(idCol).as("eval_id"), explode(shingles(col(textCol), n)).as("g"))
+    val cp = corpus
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("g"))
+    cp.join(broadcast(ev), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_hit_shingles"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   /** SimHash signature width: 60 bits — the first 15 hex chars of md5(token) parsed as
     * an integer, which both Spark (conv) and any md5-capable SQL engine (hex cast) can
     * compute identically; 4 bands × 15 bits. */

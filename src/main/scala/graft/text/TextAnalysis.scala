@@ -75,6 +75,36 @@ object TextAnalysis {
       .drop("__toks", "__punct", "__stop", "__tokchars")
   }
 
+  /**
+   * Gopher-style repetition metrics per document (one row per doc with >= n tokens):
+   *   n_grams     total word n-grams (with multiplicity)
+   *   n_distinct  distinct word n-grams
+   *   top_cnt     occurrence count of the single most repeated n-gram
+   *   dup_bp      duplicated-gram fraction (n_grams - n_distinct) / n_grams, in basis
+   *               points (floor — integer, exact across engines)
+   * High dup_bp / top_cnt flags boilerplate and degenerate repetition ("subscribe
+   * subscribe subscribe ...") that web-corpus quality filters drop before training.
+   *
+   * Scale shape: explode to (doc, gram) rows, then two keyed aggregations — the first
+   * on (doc_id, gram) with map-side partial aggregation (repeated grams collapse
+   * before the shuffle), the second on doc_id. No window, no driver funnel; skew is
+   * bounded because the key includes doc_id.
+   */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .withColumn("dup_bp",
+        floor((col("n_grams") - col("n_distinct")) * 10000L / col("n_grams")))
+  }
+
   /** Frozen per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Deterministic; no model download (zero-egress). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -27,6 +27,9 @@ object RunKG {
     implicit val spark: SparkSession = graft.util.Sessions.local(cores, "graft-kg")
     import spark.implicits._
 
+    // live counters off the listener bus (Dataset.observe — zero extra jobs); the
+    // persisted per-partition lineage lives in the checkpoint tables
+    val metrics = new graft.runtime.MetricsCollector(spark)
     val t0 = System.nanoTime()
     val nTrain = math.min(nPages / 4, 200)
     // corpus generated on executors (no driver materialization, no input shuffle)
@@ -47,8 +50,14 @@ object RunKG {
     val rows = cps.agg(org.apache.spark.sql.functions.sum("rows_out")).head().getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     val mode = if (stageDir.isDefined) "kg-checkpointed" else "kg"
+    val live = metrics.await(graft.pipeline.KGPipeline.CanonicalMetric, 15000L)
+      .map(m => s""","observed":{"triples":${m("triples")},""" +
+        s""""subjects_approx":${m("subjects_approx")},""" +
+        s""""docs_approx":${m("docs_approx")}}""")
+      .getOrElse("")
     println(f"""{"job":"$mode","pages":$nPages,"triples":$rows,"sec":$sec%.2f,""" +
-      f""""docs_per_sec":${nPages / sec}%.1f,"triples_per_sec":${rows / sec}%.1f,"cores":$cores}""")
+      f""""docs_per_sec":${nPages / sec}%.1f,"triples_per_sec":${rows / sec}%.1f,"cores":$cores""" +
+      live + "}")
     spark.stop()
   }
 }

@@ -202,11 +202,16 @@ object KGPipeline {
       graft.learn.Propagate.propagate(sents, goldAnnots, pairs))
   }
 
+  /** Observed-metric name of the canonical-triple counters attached by the write
+    * paths (post-dedup — counts what lands in the output table); read it back
+    * through a [[graft.runtime.MetricsCollector]]. */
+  val CanonicalMetric = "graft.kg.canonical"
+
   /** Run + materialize to a subject-bucketed parquet table with checkpoints. */
   def runAndWrite(pages: Dataset[Page], goldAnnots: Dataset[Annotation], gaz: Gazetteer,
       outPath: String, nBuckets: Int = 16)(implicit spark: SparkSession): DataFrame = {
     val r = run(pages, goldAnnots, gaz)
-    Materialize.write(r.canonical, outPath, nBuckets)
+    Materialize.write(r.canonical, outPath, nBuckets, Some(CanonicalMetric))
   }
 
   /**
@@ -313,6 +318,6 @@ object KGPipeline {
       .select(col("subj2").as("subj"), col("pred"), col("obj"), col("url"),
         col("begin"), col("end"), col("profileId"), col("score"), col("provenance"))
       .as[Triple]
-    Materialize.writeResumable(canonical, outPath, nBuckets)
+    Materialize.writeResumable(canonical, outPath, nBuckets, Some(CanonicalMetric))
   }
 }

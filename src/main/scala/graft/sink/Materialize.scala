@@ -35,15 +35,26 @@ object Materialize {
       when(col("provenance") === p, lit(r)).otherwise(acc)
     }
 
+  /** Live counters over the FINAL (post-dedup) triple set, attached via
+    * Dataset.observe when the caller names an observation — zero extra jobs; read
+    * back through [[graft.runtime.MetricsCollector]]. */
+  private def withCounters(df: DataFrame, name: Option[String]): DataFrame =
+    name.fold(df)(n => graft.runtime.Metrics.observed(df, n,
+      count(lit(1)).as("triples"),
+      approx_count_distinct(col("subj")).as("subjects_approx"),
+      approx_count_distinct(col("url")).as("docs_approx"),
+      min(col("score")).as("min_score")))
+
   /** Site precedence + graph dedup, then write. Two aligned shuffles: the site pass
     * is url-keyed, the graph pass subj-keyed — both reduce before the exchange. */
-  def write(triples: Dataset[Triple], path: String, nBuckets: Int = 16)(
+  def write(triples: Dataset[Triple], path: String, nBuckets: Int = 16,
+      observeName: Option[String] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val deduped = dedup(dedupPrecedence(triples.toDF()).as[Triple])
     // persist: the bucketed result feeds two actions (data write + checkpoint agg);
     // without it the whole upstream pipeline recomputes per action
-    val bucketed = withBucket(deduped, nBuckets)
+    val bucketed = withCounters(withBucket(deduped, nBuckets), observeName)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
     val cps = bucketed.groupBy(col("bucket"))
@@ -134,10 +145,15 @@ object Materialize {
    * appends their lineage rows. Idempotent: a second resume with a complete checkpoint
    * table writes nothing.
    */
-  def writeResumable(triples: Dataset[Triple], path: String, nBuckets: Int = 16)(
+  def writeResumable(triples: Dataset[Triple], path: String, nBuckets: Int = 16,
+      observeName: Option[String] = None)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val bucketed = withBucket(dedup(dedupPrecedence(triples.toDF()).as[Triple]), nBuckets)
+    // counters observe the FULL canonical set (before the pending-bucket filter), so
+    // a resumed run still reports what the job represents, not just what it rewrote
+    val bucketed = withCounters(
+        withBucket(dedup(dedupPrecedence(triples.toDF()).as[Triple]), nBuckets),
+        observeName)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pending = pendingBuckets(bucketed, path + "_checkpoints")
       .collect().map(_.getInt(0)) // ≤ nBuckets rows — driver-safe

@@ -37,6 +37,42 @@ class SkewSpec extends AnyFunSuite with SparkTest {
     assert(sortedRows(salted) == sortedRows(direct))
   }
 
+  test("AQE splits the hot partition of a skewed sort-merge join (skew=true)") {
+    // The complement to salting: for plain (unsalted) joins the session relies on
+    // AQE's OptimizeSkewedJoin (enabled in every graft session factory). Evidence it
+    // actually fires: shrink the skew thresholds so the 90%-hot fixture qualifies,
+    // force a shuffled join (no broadcast), and assert the FINAL adaptive plan marks
+    // the join skew-split.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigFact = spark.range(0, 60000)
+        .select(col("id"),
+          when(col("id") < 54000, lit("hot"))
+            .otherwise(concat(lit("cold"), pmod(col("id"), lit(20)))).as("k"))
+      val dim = (Seq("hot") ++ (0 until 20).map("cold" + _)).toDF("k")
+        .withColumn("attr", length(col("k")))
+      val joined = bigFact.hint("merge").join(dim, Seq("k"))
+      // collect() drives joined's OWN queryExecution, so the adaptive plan read
+      // below is the FINAL one (a .count() would execute a separate plan)
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("saltedJoin is multiset-identical to the plain equi-join") {
     val dim = Seq(("hot", 100L), ("cold3", 3L), ("cold7", 7L), ("absent", -1L))
       .toDF("dk", "w")

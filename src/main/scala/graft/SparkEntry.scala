@@ -432,6 +432,17 @@ object SparkEntry {
         idCol = "doc_id", textCol = "text", n = 4)
     }),
 
+    // ---- entity linking: blocked candidates scored by embedding cosine ----
+    // Forms derived from the embeddings table (one per vec_id < 60); all land in one
+    // block, so the oracle replays the in-block pair scoring exactly.
+    "q43_link_embed" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val forms = t(s, d, "embeddings").filter(col("vec_id") < 60)
+        .select(concat(lit("entity "), col("vec_id").cast("string")).as("form"),
+          col("embedding").as("vec"))
+      graft.link.EntityLink.candidateEdgesEmbedding(forms, minCosBp = 3000L)
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -1095,6 +1106,26 @@ object SparkEntry {
           FROM sh c JOIN sh e ON c.g = e.g
           WHERE e.doc_id % 13 = 0 AND c.doc_id % 13 <> 0
           GROUP BY c.doc_id""",
+
+    "q43_link_embed" ->
+      """WITH v AS (SELECT 'entity ' || vec_id AS form,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id < 60),
+          n AS (SELECT form, qv,
+                  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+                FROM v),
+          s AS (SELECT a.form AS src, b.form AS dst,
+                  CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                    p -> p[1] * p[2])) AS BIGINT) AS dot,
+                  a.n2 AS na, b.n2 AS nb
+                FROM n a JOIN n b ON a.form < b.form)
+          SELECT src, dst,
+                 CAST(floor(dot * 10000 / CAST(ceil(sqrt(CAST(na AS DOUBLE)
+                   * CAST(nb AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cos_bp
+          FROM s
+          WHERE floor(dot * 10000 / CAST(ceil(sqrt(CAST(na AS DOUBLE)
+                  * CAST(nb AS DOUBLE))) AS BIGINT)) >= 3000""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

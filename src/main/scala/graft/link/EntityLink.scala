@@ -56,4 +56,48 @@ object EntityLink {
       .filter(col("jaccard") >= minJaccard)
       .select("src", "dst", "jaccard")
   }
+
+  /**
+   * Embedding-scored variant (the north rule's "Jaccard/embedding candidate
+   * scoring"): identical blocking over the normalized form, but within-block
+   * candidate pairs are scored by quantized cosine of a per-form embedding instead of
+   * token Jaccard — linking aliases whose context vectors agree even when the surface
+   * tokens don't. Cosine is computed in integer basis points over quantized vectors
+   * (same engine-portable formula as [[graft.sim.Similarity.cosineNearDupPairs]]), so
+   * edges are bit-identical across engines and parallelism.
+   *
+   * Scale shape: identical to [[candidateEdges]] — within-block pairs only (never a
+   * global cross join), mega-blocks capped, the self-join shuffles both sides on the
+   * block key with identical subplans (ReusedExchange computes the quantize pass
+   * once); residual imbalance goes to AQE skew splitting.
+   *
+   * @param forms (form: string, vec: array<float>) — one embedding per surface form
+   *              (rows beyond the first per form are dropped deterministically).
+   */
+  def candidateEdgesEmbedding(forms: DataFrame, minCosBp: Long = 8000L,
+      maxBlockSize: Int = 1000)(implicit spark: SparkSession): DataFrame = {
+    import graft.sim.Similarity.{qdot, qnorm2, quantize}
+    val normed = forms.select(col("form"), col("vec"))
+      .groupBy(col("form")).agg(min_by(col("vec"), col("vec")).as("vec"))
+      .withColumn("norm", trim(regexp_replace(lower(col("form")), "[^a-z0-9]+", " ")))
+      .filter(length(col("norm")) > 0)
+      .withColumn("qv", quantize(col("vec")))
+      .withColumn("block",
+        concat(substring(col("norm"), 1, 1), lit(":"),
+          size(array_distinct(split(col("norm"), " ")))))
+    val capped = normed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("block").orderBy("norm")))
+      .filter(col("rn") <= maxBlockSize).drop("rn")
+    val a = capped.select(col("form").as("src"), col("qv").as("va"), col("block"))
+    val b = capped.select(col("form").as("dst"), col("qv").as("vb"), col("block"))
+    a.join(b.hint("shuffle_hash"), Seq("block"))
+      .filter(col("src") < col("dst"))
+      .withColumn("cos_bp",
+        floor(qdot(col("va"), col("vb")) * 10000L /
+          ceil(sqrt(qnorm2(col("va")).cast("double") * qnorm2(col("vb")).cast("double")))
+            .cast("long")))
+      .filter(col("cos_bp") >= minCosBp)
+      .select("src", "dst", "cos_bp")
+  }
 }

@@ -32,6 +32,22 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTest {
     assert(!edges.exists(e => e._1.contains("Globex") || e._2.contains("Globex")))
   }
 
+  test("entity linking embedding scoring links same-block aliases by cosine") {
+    import spark.implicits._
+    // "j smith" / "john smith" share block (j:2) and an identical direction vector;
+    // "jane doe" is in the same block but orthogonal; "zeta co" is another block and
+    // must never be compared even with a parallel vector.
+    val forms = Seq(
+      ("J. Smith", Array(1.0f, 0.0f, 0.0f)),
+      ("john smith", Array(2.0f, 0.0f, 0.0f)),
+      ("jane doe", Array(0.0f, 1.0f, 0.0f)),
+      ("zeta co", Array(3.0f, 0.0f, 0.0f))
+    ).toDF("form", "vec")
+    val edges = EntityLink.candidateEdgesEmbedding(forms, minCosBp = 8000L)(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(edges.toSeq == Seq(("J. Smith", "john smith", 10000L)))
+  }
+
   test("canonicalization is deterministic across runs") {
     import spark.implicits._
     val edges = (1 to 50).map(i => (s"n${i}", s"n${i + 1}")).toDF("src", "dst")

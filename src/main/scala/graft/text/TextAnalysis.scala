@@ -85,12 +85,27 @@ object TextAnalysis {
    * High dup_bp / top_cnt flags boilerplate and degenerate repetition ("subscribe
    * subscribe subscribe ...") that web-corpus quality filters drop before training.
    *
-   * Scale shape: explode to (doc, gram) rows, then two keyed aggregations — the first
-   * on (doc_id, gram) with map-side partial aggregation (repeated grams collapse
-   * before the shuffle), the second on doc_id. No window, no driver funnel; skew is
-   * bounded because the key includes doc_id.
+   * Runs on the NATIVE codegen kernel `repetition_stats`
+   * ([[graft.functions.RepetitionStats]]): one JIT-compiled pass per document — no
+   * gram explosion, ZERO shuffle; at 100 TB this is a narrow map at scan speed.
+   * Bit-identical to the explode + two keyed aggregations formulation (kept below as
+   * [[repetitionAgg]] for parity testing and sessions without GraftExtensions).
    */
-  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        call_function("repetition_stats", col(textCol), lit(n)).as("r"))
+      .filter(col("r.n_grams") > 0)
+      .select(col("doc_id"), col("r.n_grams").as("n_grams"),
+        col("r.n_distinct").as("n_distinct"), col("r.top_cnt").as("top_cnt"))
+      .withColumn("dup_bp",
+        floor((col("n_grams") - col("n_distinct")) * 10000L / col("n_grams")))
+
+  /** Pure-builtin formulation of [[repetition]] (no session extensions): explode to
+    * (doc, gram) rows, then two keyed aggregations — the first on (doc_id, gram) with
+    * map-side partial aggregation, the second on doc_id. No window, no driver funnel;
+    * skew bounded because the key includes doc_id. Same result — the kernel's parity
+    * oracle. */
+  def repetitionAgg(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val toks = wsTokens(lower(col(textCol)))
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

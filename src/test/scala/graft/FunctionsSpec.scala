@@ -96,6 +96,30 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     assert(got.distinct.size === 3) // per-row token differs → signatures differ
   }
 
+  test("repetition_stats compiles under CODEGEN_ONLY and matches the agg formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), (2L, "one one one one"), (3L, "all distinct grams here"),
+      (4L, "x"), (5L, "Mixed CASE mixed case Mixed")).toDF("doc_id", "text")
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevProjFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val kernel = try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      graft.text.TextAnalysis.repetition(docs, "doc_id", "text", n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevProjFactory)
+    }
+    val agg = graft.text.TextAnalysis.repetitionAgg(docs, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(kernel === agg)
+    assert(kernel.exists(_._1 == 5L)) // case folding matches the agg's lower()
+  }
+
   test("null text and non-foldable terms are handled") {
     import spark.implicits._
     val df = Seq(Some("a merge b"), None).toDF("text")

@@ -98,6 +98,11 @@ class PlansSpec extends AnyFunSuite with SparkTest {
     val p21 = formatted("q21_simhash")
     assert(p21.contains("simhash_md5"),
       s"native simhash kernel gone (fingerprint stage re-grew a shuffle):\n$p21")
+    val p41 = formatted("q41_repetition")
+    assert(p41.contains("repetition_stats"),
+      s"native repetition kernel gone (quality stage re-grew the gram explode):\n$p41")
+    assert(!p41.contains("Exchange"),
+      s"repetition must stay a ZERO-shuffle narrow map:\n$p41")
   }
 
   test("q24: bucketing computed once — self-join reuses the exchange (AQE final plan)") {
@@ -107,5 +112,12 @@ class PlansSpec extends AnyFunSuite with SparkTest {
     val p = d.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"),
       s"lsh_bucket shuffle now computed twice:\n$p")
+  }
+
+  test("q42: the eval shingle set joins broadcast — the corpus side never shuffles to match") {
+    val p = formatted("q42_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontamination join de-broadcast (corpus-sized shuffle at 100 TB):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"decontamination join became SMJ:\n$p")
   }
 }

@@ -83,6 +83,22 @@ object KernelProps extends Properties("kernels") {
       Prop(got == want) :| s"got=$got want=$want dict=$dict stream=$stream"
     }
 
+  property("repetition_stats kernel == naive gram counting for any text and n") =
+    forAll(textGen, Gen.choose(1, 4)) { (s, n) =>
+      val row = graft.functions.RepetitionStats.run(s, n)
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val toks = s.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val want =
+        if (toks.length < n) (0L, 0L, 0L)
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+          val counts = grams.groupBy(identity).view.mapValues(_.size)
+          (grams.size.toLong, counts.size.toLong, counts.values.max.toLong)
+        }
+      Prop(got == want) :| s"got=$got want=$want n=$n text=${s.take(40)}"
+    }
+
   property("adjacent-mention merge emits non-overlapping, ordered spans per type") =
     forAll(Gen.listOf(Gen.zip(Gen.choose(0, 50), Gen.choose(1, 5)))) { spans =>
       val mentions = spans.map { case (b, len) =>

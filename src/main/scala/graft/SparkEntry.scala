@@ -443,6 +443,18 @@ object SparkEntry {
       graft.link.EntityLink.candidateEdgesEmbedding(forms, minCosBp = 3000L)
     }),
 
+    // ---- the composed dedup pipeline: exact → near-dup clusters → canonical id ----
+    // Exact clones injected deterministically (doc_id % 100 == 0 → +100000) because
+    // the synthetic corpus has no byte-identical rows; clones must map to their
+    // original, which must map to its near-dup cluster minimum.
+    "q44_dedup_canon" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val clones = docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.canonicalDocs(docs.unionByName(clones), "doc_id", "text")
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -474,8 +486,8 @@ object SparkEntry {
                             for i in range(1, len(tk) - 2)])
         ELSE CAST([] AS VARCHAR[]) END"""
 
-  private val jaccardPairsSql =
-    s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+  private def jaccardPairsSqlFrom(table: String) =
+    s"""WITH toks AS (SELECT doc_id, $toksLowerSql AS tk FROM $table),
        sh AS (SELECT doc_id, $shingles4Sql AS sh FROM toks),
        posts AS (
          SELECT doc_id, sz, g FROM (
@@ -625,7 +637,7 @@ object SparkEntry {
                  CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS BIGINT) AS lang_score
           FROM s""",
 
-    "q19_jaccard_neardup" -> jaccardPairsSql,
+    "q19_jaccard_neardup" -> jaccardPairsSqlFrom("documents"),
 
     "q21_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
@@ -1127,9 +1139,34 @@ object SparkEntry {
           WHERE floor(dot * 10000 / CAST(ceil(sqrt(CAST(na AS DOUBLE)
                   * CAST(nb AS DOUBLE))) AS BIGINT)) >= 3000""",
 
+    "q44_dedup_canon" ->
+      s"""WITH RECURSIVE
+          corpus AS (SELECT doc_id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 100000, text FROM documents
+                     WHERE doc_id % 100 = 0),
+          keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+                   FROM corpus GROUP BY 1),
+          m AS (SELECT c.doc_id, k.keep_id
+                FROM corpus c JOIN keep k ON md5(c.text) = k.h),
+          surv AS (SELECT doc_id, text FROM corpus
+                   WHERE doc_id IN (SELECT keep_id FROM keep)),
+          pairs AS (${jaccardPairsSqlFrom("surv")}),
+          nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          comp AS (SELECT a AS node, CAST(min(b) AS BIGINT) AS component
+                   FROM reach GROUP BY a)
+          SELECT m.doc_id, coalesce(c.component, m.keep_id) AS canon_id
+          FROM m LEFT JOIN comp c ON c.node = m.keep_id""",
+
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE
-          pairs AS ($jaccardPairsSql),
+          pairs AS (${jaccardPairsSqlFrom("documents")}),
           nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                     UNION SELECT id_b, id_a FROM pairs),

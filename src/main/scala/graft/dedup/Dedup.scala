@@ -130,6 +130,42 @@ object Dedup {
   }
 
   /**
+   * The COMPOSED dedup pipeline a training corpus actually runs before a release:
+   * exact dedup (content md5, keep the min id) followed by near-duplicate clustering
+   * over the exact-dedup survivors (blocked n-gram Jaccard pairs →
+   * large-star/small-star connected components) with the cluster minimum as the
+   * canonical representative. Returns ONE row per input document:
+   * (doc_id, canon_id) — a doc is kept iff doc_id == canon_id; dropping the rest
+   * and joining content back by canon_id yields the deduplicated corpus.
+   *
+   * Scale shape: the exact pass is one 32-byte-key shuffle; the near-dup pass
+   * inherits [[jaccardPairs]]'s capped-postings blocking (never all-pairs); CC runs
+   * on the pair graph only (orders of magnitude smaller than the corpus); the final
+   * mapping is a left join of the doc→keeper table against the (small) component
+   * table.
+   */
+  def canonicalDocs(df: DataFrame, idCol: String, textCol: String, n: Int = 4,
+      minJaccardBp: Long = 3000L, maxPosting: Int = 1000)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val hashed = base.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val keep = hashed.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val toKeep = hashed.join(keep, Seq("h")).select(col("doc_id"), col("keep_id"))
+    val survivors = hashed.join(
+      keep.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = jaccardPairs(survivors, "doc_id", "text", n, minJaccardBp, maxPosting)
+    // CC operates on strings; zero-padding keeps string-min == numeric-min
+    val edges = pairs.select(
+      lpad(col("id_a").cast("string"), 12, "0").as("src"),
+      lpad(col("id_b").cast("string"), 12, "0").as("dst"))
+    val comp = graft.canon.ConnectedComponents.run(edges)
+      .select(col("node").cast("long").as("keep_id"),
+        col("component").cast("long").as("comp"))
+    toKeep.join(comp, Seq("keep_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("keep_id")).as("canon_id"))
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least one word n-gram
    * shingle with any document of an eval/benchmark set. Training pipelines run this
    * before every release so evaluation results are not inflated by test data leaking

@@ -61,6 +61,20 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("canonicalDocs: exact dups and near-dup clusters map to one representative") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      (10L, a),                                       // cluster representative
+      (20L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),         // near-dup of 10 (jacc 4/10)
+      (30L, a),                                       // exact dup of 10
+      (40L, "totally unrelated text with its own words here")).toDF("doc_id", "text")
+    val canon = Dedup.canonicalDocs(df, "doc_id", "text",
+        n = 4, minJaccardBp = 3000L)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L))
+  }
+
   test("simhash_md5 native kernel == the explode + bit-sum aggregate formulation") {
     import spark.implicits._
     val df = Seq(

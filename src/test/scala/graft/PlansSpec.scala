@@ -22,8 +22,8 @@ class PlansSpec extends AnyFunSuite with SparkTest {
   // the three statistics queries return eagerly-computed local relations (no plan to
   // guard, and building them runs the full extraction pipeline); q28 executes its CC
   // iterations at build time. Their component plans are guarded via q19/q27/q30 specs.
-  private val skip = Set("q28_cc_neardup", "q30_pair_stats", "q31_value_priors",
-    "q32_eval_scores")
+  private val skip = Set("q28_cc_neardup", "q44_dedup_canon", "q30_pair_stats",
+    "q31_value_priors", "q32_eval_scores")
 
   // q22 is the DELIBERATE broadcast brute-force baseline (query side broadcast against
   // every embedding row); q36's corpus×centroid product is the IVF coarse-quantizer

@@ -59,6 +59,35 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         s"only-stream=${(streamShaped -- batch).take(3)}")
   }
 
+  test("decontamination flag composes with streaming ingest (append mode, no state)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val flag = graft.dedup.Dedup.contaminationFlag(eval, "text", n = 4)
+
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDS().toDF("doc_id", "text")
+      .withColumn("contaminated", flag)
+    val q = flagged.writeStream.format("memory")
+      .queryName("decontam_stream").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "pre one two three four post"), (2L, "clean row here entirely"))
+      q.processAllAvailable()
+      input.addData((3L, "two three four five suffix"))
+      q.processAllAvailable()
+      val got = spark.table("decontam_stream")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+      // the streaming flag must agree with the relational batch operator
+      val batchDocs = Seq((1L, "pre one two three four post"),
+        (2L, "clean row here entirely"), (3L, "two three four five suffix"))
+        .toDF("doc_id", "text")
+      val rel = graft.dedup.Dedup.contaminatedDocs(batchDocs, eval, "doc_id", "text", n = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._2).keySet == rel)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedup holds state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -455,6 +455,25 @@ object SparkEntry {
       Dedup.canonicalDocs(docs.unionByName(clones), "doc_id", "text")
     }),
 
+    // ---- URL canonicalization: crawl variants of one page collapse to one key ----
+    // Three messy variants per doc (case/www/default-port/fragment/trailing-slash/
+    // query-order differences) MUST canonicalize identically: n_canon == 1.
+    "q45_canonical_url" -> ((s, d) => {
+      val sid = col("doc_id").cast("string")
+      val host = concat(lit("example"), (col("doc_id") % 7).cast("string"), lit(".com"))
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        explode(array(
+          concat(lit("HTTPS://WWW."), upper(host), lit(":443/a/"), sid,
+            lit("/?b=2&a=1#frag")),
+          concat(lit("https://"), host, lit("/a/"), sid, lit("?a=1&b=2")),
+          concat(lit("https://"), host, lit(":443/a/"), sid, lit("/?b=2&a=1"))))
+          .as("url"))
+      raw.select(col("doc_id"), graft.ingest.Urls.canonicalize(col("url")).as("canon"))
+        .groupBy("doc_id")
+        .agg(min(col("canon")).as("canon_url"), count(lit(1)).as("n_forms"),
+          count_distinct(col("canon")).as("n_canon"))
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -1163,6 +1182,47 @@ object SparkEntry {
                    FROM reach GROUP BY a)
           SELECT m.doc_id, coalesce(c.component, m.keep_id) AS canon_id
           FROM m LEFT JOIN comp c ON c.node = m.keep_id""",
+
+    "q45_canonical_url" ->
+      """WITH ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+                 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+               FROM documents),
+          raw AS (SELECT doc_id, unnest([
+                 'HTTPS://WWW.' || upper(host) || ':443/a/' || sid || '/?b=2&a=1#frag',
+                 'https://' || host || '/a/' || sid || '?a=1&b=2',
+                 'https://' || host || ':443/a/' || sid || '/?b=2&a=1']) AS url
+               FROM ids),
+          p1 AS (SELECT doc_id, url,
+                   regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+          p2 AS (SELECT doc_id, url, nofrag,
+                   lower(regexp_extract(nofrag,
+                     '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(nofrag,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
+                   regexp_extract(nofrag,
+                     '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1) AS pathq
+                 FROM p1),
+          p3 AS (SELECT doc_id, url, scheme, pathq,
+                   CASE WHEN scheme = 'http'
+                        THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+                        WHEN scheme = 'https'
+                        THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+                        ELSE regexp_replace(hostport, '^www\.', '') END AS host,
+                   regexp_replace(regexp_replace(pathq, '\?.*$', ''), '/+$', '') AS tp,
+                   regexp_extract(pathq, '\?(.*)$', 1) AS q
+                 FROM p2),
+          c AS (SELECT doc_id,
+                  CASE WHEN scheme = '' THEN trim(url)
+                       ELSE scheme || '://' || host
+                         || (CASE WHEN tp = '' THEN '/' ELSE tp END)
+                         || (CASE WHEN coalesce(sq, '') <> '' THEN '?' || sq ELSE '' END)
+                  END AS canon
+                FROM (SELECT *, list_aggregate(list_sort(list_filter(
+                        string_split(q, '&'), x -> len(x) > 0)),
+                        'string_agg', '&') AS sq FROM p3))
+          SELECT doc_id, min(canon) AS canon_url, count(*) AS n_forms,
+                 count(DISTINCT canon) AS n_canon
+          FROM c GROUP BY doc_id""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

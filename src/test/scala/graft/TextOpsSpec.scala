@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
@@ -24,6 +25,24 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(2L) == ((3L, 1L, 3L, 6666L)))
     assert(out(3L) == ((3L, 3L, 1L, 0L)))
     assert(!out.contains(4L))
+  }
+
+  test("canonicalize urls: each rule collapses its crawl variant") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment + www + default port + case + trailing slash + query order
+      "HTTPS://WWW.Example.COM:443/A/b/?b=2&a=1#frag" -> "https://example.com/A/b?a=1&b=2",
+      "http://example.com:80" -> "http://example.com/",
+      "http://example.com:8080/x" -> "http://example.com:8080/x", // non-default port kept
+      "https://example.com/CaseSensitive/Path" -> "https://example.com/CaseSensitive/Path",
+      "https://example.com/?/" -> "https://example.com/?/", // '?/' is a query, kept
+      "ftp://Example.com/file" -> "ftp://example.com/file",  // unknown scheme: no port rule
+      "not a url at all" -> "not a url at all",               // passthrough (trimmed)
+      "  spaced.com  " -> "spaced.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ingest.Urls.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
   }
 
   test("contaminatedDocs: shared n-gram with the eval set flags the doc") {

@@ -474,6 +474,25 @@ object SparkEntry {
           count_distinct(col("canon")).as("n_canon"))
     }),
 
+    // ---- PII redaction: emails/IPs/phones scrubbed with audit counts ----
+    // The corpus carries no PII by construction, so deterministic synthetic PII is
+    // appended per doc (every doc an email; %3 an IP; %4 a phone) and must come back
+    // redacted with exact counts.
+    "q46_redact_pii" -> ((s, d) => {
+      val sid = col("doc_id").cast("string")
+      val augmented = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), sid, lit("@mail.example.org now"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-4321")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(augmented, "doc_id", "text")
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -1223,6 +1242,33 @@ object SparkEntry {
           SELECT doc_id, min(canon) AS canon_url, count(*) AS n_forms,
                  count(DISTINCT canon) AS n_canon
           FROM c GROUP BY doc_id""",
+
+    "q46_redact_pii" ->
+      """WITH aug AS (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.org now'
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                              ELSE '' END
+                      || CASE WHEN doc_id % 4 = 0
+                              THEN ' call 555-'
+                                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-4321'
+                              ELSE '' END AS t
+               FROM documents)
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
+                 CAST(len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(t,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(t,
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones
+          FROM aug""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

@@ -120,6 +120,29 @@ object TextAnalysis {
         floor((col("n_grams") - col("n_distinct")) * 10000L / col("n_grams")))
   }
 
+  /** PII patterns for pre-training scrubbing (RE2-safe — no lookarounds — so the
+    * DuckDB oracle replays them verbatim). Order matters: emails first (their local
+    * part can contain digit runs a later rule would mangle), then IPs, then phones. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /**
+   * PII redaction — the scrub a web corpus runs before training: emails → `<EMAIL>`,
+   * IPv4 addresses → `<IP>`, NNN-NNN-NNNN phones → `<PHONE>`, with per-doc match
+   * counts for audit. Pure builtin regexp columns (codegen, narrow, zero-shuffle);
+   * at 100 TB this rides the ingest projection at scan speed.
+   */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>").as("redacted"),
+      size(regexp_extract_all(t, lit(PiiEmail), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PiiIp), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PiiPhone), lit(0))).cast("long").as("n_phones"))
+  }
+
   /** Frozen per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Deterministic; no model download (zero-egress). */
   val langMarkers: Map[String, Seq[String]] = Map(

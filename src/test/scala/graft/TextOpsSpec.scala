@@ -45,6 +45,21 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == cases.map(_._2))
   }
 
+  test("redactPii: emails, IPs, phones scrubbed with audit counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io from 192.168.0.1 call 555-123-4567"),
+      (2L, "no pii here, just 1234 and a.b text"),
+      (3L, "edge 999.999.999.999 still shaped like an ip")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <EMAIL> from <IP> call <PHONE>", 2L, 1L, 1L)))
+    assert(out(2L) == (("no pii here, just 1234 and a.b text", 0L, 0L, 0L)))
+    // the scrub is shape-based, not semantic — deliberately redacts invalid octets
+    assert(out(3L) == (("edge <IP> still shaped like an ip", 0L, 1L, 0L)))
+  }
+
   test("contaminatedDocs: shared n-gram with the eval set flags the doc") {
     import spark.implicits._
     val eval = Seq(

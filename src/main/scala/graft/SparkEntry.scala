@@ -493,6 +493,44 @@ object SparkEntry {
       TextAnalysis.redactPii(augmented, "doc_id", "text")
     }),
 
+    // ---- cross-doc boilerplate line removal (the CCNet/RefinedWeb idiom) ----
+    // The corpus text carries no newlines, so boilerplate is injected
+    // deterministically: a footer line on every doc, a newsletter line on even docs,
+    // and one unique per-doc line that must SURVIVE the frequency threshold.
+    "q47_boilerplate" -> ((s, d) => {
+      val withLines = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nall rights reserved example footer"),
+          when(col("doc_id") % 2 === 0, lit("\nsubscribe to the newsletter"))
+            .otherwise(lit("")),
+          concat(lit("\nref id "), col("doc_id").cast("string"))).as("text"))
+      graft.corpus.Curation.removeBoilerplateLines(withLines, "doc_id", "text",
+        minDocs = 100L)
+    }),
+
+    // ---- deterministic stratified sampling by language (corpus mixing) ----
+    "q48_stratified_sample" -> ((s, d) =>
+      graft.corpus.Curation.stratifiedSample(
+          t(s, d, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", Map("en" -> 2500L, "fr" -> 5000L), defaultBp = 8000L)
+        .select("doc_id", "lang", "sample_bp")),
+
+    // ---- per-domain quota cap (hot-domain guard; WindowGroupLimit path) ----
+    "q49_domain_quota" -> ((s, d) =>
+      graft.corpus.Curation.domainQuota(
+          t(s, d, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", k = 15)
+        .select(col("doc_id"), col("source"), col("rank").as("quota_rank"))),
+
+    // ---- token-budget mixture packing per language ----
+    "q50_token_budget" -> ((s, d) =>
+      graft.corpus.Curation.tokenBudgetMix(
+          t(s, d, "documents").select("doc_id", "lang", "text"),
+          "doc_id", "lang", "text", Map("en" -> 4000L), defaultBudget = 2500L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          max("cum_toks").as("cum_tokens"))),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -1269,6 +1307,62 @@ object SparkEntry {
                  CAST(len(regexp_extract_all(t,
                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones
           FROM aug""",
+
+    "q47_boilerplate" ->
+      """WITH aug AS (SELECT doc_id,
+                 text || chr(10) || 'all rights reserved example footer'
+                      || CASE WHEN doc_id % 2 = 0
+                              THEN chr(10) || 'subscribe to the newsletter'
+                              ELSE '' END
+                      || chr(10) || 'ref id ' || CAST(doc_id AS VARCHAR) AS text
+               FROM documents),
+          lns AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+          lines AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos,
+                           unnest(l) AS line FROM lns),
+          boiler AS (SELECT line FROM (
+                       SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY line)
+                     WHERE n >= 100),
+          kept AS (SELECT doc_id, pos, line FROM lines
+                   WHERE line NOT IN (SELECT line FROM boiler)),
+          reb AS (SELECT doc_id, count(*) AS n_kept,
+                         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                  FROM kept GROUP BY doc_id)
+          SELECT a.doc_id,
+                 CAST(len(string_split(a.text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(len(string_split(a.text, chr(10))) - coalesce(r.n_kept, 0)
+                   AS BIGINT) AS n_removed,
+                 md5(coalesce(r.clean_text, '')) AS clean_md5
+          FROM aug a LEFT JOIN reb r USING (doc_id)""",
+
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang, sample_bp FROM (
+           SELECT doc_id, lang,
+                  CAST(concat('0x', substr(md5('smp:' || CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 10000 AS sample_bp
+           FROM documents)
+         WHERE sample_bp < CASE lang WHEN 'en' THEN 2500
+                                     WHEN 'fr' THEN 5000 ELSE 8000 END""",
+
+    "q49_domain_quota" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS quota_rank FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 15""",
+
+    "q50_token_budget" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+                   CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+          c AS (SELECT doc_id, lang, n_toks,
+                  sum(n_toks) OVER (PARTITION BY lang
+                                    ORDER BY n_toks DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_toks
+                FROM toks)
+          SELECT lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(max(cum_toks) AS BIGINT) AS cum_tokens
+          FROM c WHERE cum_toks <= CASE lang WHEN 'en' THEN 4000 ELSE 2500 END
+          GROUP BY lang""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

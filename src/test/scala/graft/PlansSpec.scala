@@ -120,4 +120,17 @@ class PlansSpec extends AnyFunSuite with SparkTest {
       s"decontamination join de-broadcast (corpus-sized shuffle at 100 TB):\n$p")
     assert(!p.contains("SortMergeJoin"), s"decontamination join became SMJ:\n$p")
   }
+
+  test("q48: stratified sampling is a ZERO-shuffle narrow filter") {
+    val p = formatted("q48_stratified_sample")
+    assert(!p.contains("Exchange"),
+      s"md5 sampling filter grew a shuffle (must ride the scan at 100 TB):\n$p")
+    assert(p.contains("[codegen id :"), s"sampling filter fell out of codegen:\n$p")
+  }
+
+  test("q49: domain quota keeps the WindowGroupLimit pushdown") {
+    val p = formatted("q49_domain_quota")
+    assert(p.contains("WindowGroupLimit"),
+      s"quota rank<=k no longer prunes groups before the full sort:\n$p")
+  }
 }

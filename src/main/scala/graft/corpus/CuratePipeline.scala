@@ -1,0 +1,145 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.runtime.StageCheckpoint
+import graft.text.TextAnalysis
+
+/**
+ * The composed training-corpus curation pipeline: the full sequence a web-scale
+ * pipeline runs between raw ingest and tokenization, assembled from the operators
+ * that are individually oracle-checked (q13–q24, q41–q50):
+ *
+ *   1. quality gate      — token-count floor + Gopher-style repetition ceiling
+ *                          (ONE fused zero-shuffle projection: `repetition_stats`
+ *                          native kernel + token count computed in the same scan)
+ *   2. dedup             — exact md5 keep-min, then Jaccard near-dup clusters via
+ *                          connected components; only canonical representatives pass
+ *   3. decontamination   — drop docs sharing any word n-gram shingle with the
+ *                          eval/benchmark set (eval side broadcast)
+ *   4. PII redaction     — emails/IPs/phones scrubbed, audit counts kept
+ *   5. mixing            — md5-deterministic stratified sampling, per-domain quota
+ *                          cap, per-stratum token-budget packing
+ *
+ * Stage ORDER is deliberate: the cheap narrow quality gate runs first so every
+ * downstream shuffle (dedup's posting/CC joins) sees only surviving docs; dedup runs
+ * before decontamination so each surviving cluster is checked once, not once per
+ * duplicate; redaction precedes mixing so token budgets count post-redaction tokens.
+ *
+ * [[runCheckpointed]] materializes every stage through [[StageCheckpoint]] — the
+ * north-rule resumable shape: a re-submitted run resumes at its first incomplete
+ * stage, and per-partition lineage + counters stay queryable per stage.
+ */
+object CuratePipeline {
+
+  /** Knobs, all engine-portable (md5-derived randomness, fixed-point thresholds). */
+  final case class Config(
+      minTokens: Long = 10L,
+      maxDupBp: Long = 5000L,
+      repetitionN: Int = 2,
+      dedupMinJaccardBp: Long = 3000L,
+      decontaminateN: Int = 8,
+      sampleRatesBp: Map[String, Long] = Map.empty,
+      sampleDefaultBp: Long = 10000L, // 10000 = keep everything
+      quotaK: Int = Int.MaxValue,
+      budgets: Map[String, Long] = Map.empty,
+      defaultBudget: Long = Long.MaxValue / 4) {
+    /** Rendered into the stage fingerprints: any knob change recomputes. */
+    def fingerprint: String =
+      s"v1|$minTokens|$maxDupBp|$repetitionN|$dedupMinJaccardBp|$decontaminateN|" +
+        s"${sampleRatesBp.toSeq.sorted.mkString(",")}|$sampleDefaultBp|$quotaK|" +
+        s"${budgets.toSeq.sorted.mkString(",")}|$defaultBudget"
+  }
+
+  /** Stage 1 — fused quality gate: one narrow projection computes the token count
+    * AND the repetition stats (native kernel), then filters. Zero shuffle. */
+  def qualityGate(docs: DataFrame, cfg: Config): DataFrame =
+    docs
+      .withColumn("n_toks",
+        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      .withColumn("__r",
+        call_function("repetition_stats", col("text"), lit(cfg.repetitionN)))
+      .withColumn("dup_bp",
+        when(col("__r.n_grams") > 0,
+          floor((col("__r.n_grams") - col("__r.n_distinct")) * 10000L /
+            col("__r.n_grams")))
+          .otherwise(0L))
+      .drop("__r")
+      .filter(col("n_toks") >= cfg.minTokens && col("dup_bp") <= cfg.maxDupBp)
+
+  /** Stage 2 — keep one canonical representative per exact/near-dup cluster. */
+  def dedupCanonical(docs: DataFrame, cfg: Config)(
+      implicit spark: SparkSession): DataFrame = {
+    val canon = Dedup.canonicalDocs(docs, "doc_id", "text",
+      minJaccardBp = cfg.dedupMinJaccardBp)
+    docs.join(canon.filter(col("doc_id") === col("canon_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
+  /** Stage 3 — benchmark decontamination: anti-join against the flagged set. */
+  def decontaminate(docs: DataFrame, evalSet: DataFrame, cfg: Config): DataFrame =
+    docs.join(
+      Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text", cfg.decontaminateN)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  /** Stage 4 — PII scrub; the curated text IS the redacted text from here on.
+    * A pure projection (audit counts + rewrite in one narrow pass) — NOT a join-back
+    * of [[TextAnalysis.redactPii]]'s output, which would build a same-lineage
+    * self-join (the ambiguous pattern the Eval scorer had to be cured of). */
+  def redact(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(t, lit(TextAnalysis.PiiEmail), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(TextAnalysis.PiiIp), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(TextAnalysis.PiiPhone), lit(0))).cast("long"))
+      .withColumn("text",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          TextAnalysis.PiiEmail, "<EMAIL>"),
+          TextAnalysis.PiiIp, "<IP>"),
+          TextAnalysis.PiiPhone, "<PHONE>"))
+  }
+
+  /** Stage 5 — mixing: sample → domain quota → token budget, all deterministic. */
+  def mix(docs: DataFrame, cfg: Config): DataFrame = {
+    val sampled = Curation.stratifiedSample(docs, "doc_id", "lang",
+      cfg.sampleRatesBp, cfg.sampleDefaultBp)
+    val capped = Curation.domainQuota(sampled, "doc_id", "source", "n_toks", cfg.quotaK)
+    Curation.tokenBudgetMix(capped.withColumnRenamed("n_toks", "n_toks_pre"),
+        "doc_id", "lang", "text", cfg.budgets, cfg.defaultBudget)
+      .drop("n_toks_pre")
+  }
+
+  /** The whole pipeline, un-checkpointed (test/composition surface). */
+  def run(docs: DataFrame, evalSet: DataFrame, cfg: Config = Config())(
+      implicit spark: SparkSession): DataFrame =
+    mix(redact(decontaminate(dedupCanonical(qualityGate(docs, cfg), cfg),
+      evalSet, cfg)), cfg)
+
+  /**
+   * Resumable production path: every stage materializes under `stageDir` with
+   * per-partition lineage + counters; a re-submitted run with the same
+   * (inputFingerprint, config) resumes at its first incomplete stage. Returns the
+   * curated corpus; `cps.lineage("c5_mix")` etc. expose the per-stage counters.
+   */
+  def runCheckpointed(docs: DataFrame, evalSet: DataFrame, cfg: Config,
+      stageDir: String, inputFingerprint: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val cps = StageCheckpoint(stageDir)
+    val fp = inputFingerprint + "|" + cfg.fingerprint
+    val s1 = cps.materialize("c1_quality", fp)(qualityGate(docs, cfg))
+    val s2 = cps.materialize("c2_dedup", fp)(dedupCanonical(s1, cfg))
+    val s3 = cps.materialize("c3_decontaminate", fp)(decontaminate(s2, evalSet, cfg))
+    val s4 = cps.materialize("c4_redact", fp)(redact(s3))
+    cps.materialize("c5_mix", fp)(mix(s4, cfg))
+  }
+
+  /** The checkpointed stage names in order (for lineage/metrics readers). */
+  val StageNames: Seq[String] =
+    Seq("c1_quality", "c2_dedup", "c3_decontaminate", "c4_redact", "c5_mix")
+}

@@ -66,7 +66,20 @@ object PlanDump {
     "q43_link_embed" ->
       """Embedding-scored entity linking: within-block self-join on the block key via
         |shuffle_hash with IDENTICAL subplans (expect ReusedExchange on the second
-        |side — quantize runs once), codegen'd qdot/qnorm cosine; no cross join.""")
+        |side — quantize runs once), codegen'd qdot/qnorm cosine; no cross join.""",
+    "q47_boilerplate" ->
+      """Cross-doc boilerplate removal: line frequency = one HashAggregate pair keyed
+        |by line (distinct doc set via partial agg), the small surviving boilerplate
+        |set joins back as the anti-join's build side, and the per-doc rebuild sorts
+        |(pos, line) structs INSIDE the aggregate — no global sort, no window.""",
+    "q48_stratified_sample" ->
+      """Deterministic stratified sampling: ONE WholeStageCodegen span over the scan —
+        |the md5 rule is a Filter in the same stage, ZERO Exchange in the whole plan
+        |(at 100 TB the sample rides the ingest scan at full speed).""",
+    "q49_domain_quota" ->
+      """Per-domain quota: one shuffle on the domain key, WindowGroupLimit prunes each
+        |group to k rows before the full sort — a mega-domain never materializes more
+        |than k winners per task.""")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

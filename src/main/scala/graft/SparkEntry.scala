@@ -47,6 +47,15 @@ object SparkEntry {
     (-1L, "the report was computed from the table and the analysts were running in the market"),
     (-2L, "analysts should have reported growth in markets and customers may be waiting for the products no"))
 
+  /** Deterministic triple table for the q51–q53 graph operators: lineitem as a skewed
+    * (subj=supplier, pred=returnflag class, obj=part) fact store. The SAME derivation
+    * appears as `kgTriplesSql` in the oracles — keep them in sync. */
+  private def kgTriples(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      concat(lit("s"), col("l_suppkey").cast("string")).as("subj"),
+      concat(lit("rf_"), col("l_returnflag")).as("pred"),
+      concat(lit("p"), col("l_partkey").cast("string")).as("obj"))
+
   /** Flagship: pattern-based triple extraction over the sf0.001 documents corpus via
     * the full normalize → tokenize → sentence-grid → broadcast-matcher path. */
   def entry(spark: SparkSession): DataFrame = {
@@ -531,6 +540,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
           max("cum_toks").as("cum_tokens"))),
 
+    // ---- KG degree statistics: mega-entity (hub) detection over triples ----
+    // Triples derived deterministically from lineitem (subj=supplier, pred=returnflag
+    // class, obj=part) — a skewed fact table standing in for the materialized store.
+    "q51_entity_degree" -> ((s, d) =>
+      graft.kg.Graph.degreeStats(kgTriples(t(s, d, "lineitem")),
+          "subj", "pred", "obj")
+        .withColumn("is_hub", (col("degree") >= 600L).cast("long"))),
+
+    // ---- per-predicate functionality profile (KG quality) ----
+    "q52_pred_profile" -> ((s, d) =>
+      graft.kg.Graph.predicateProfile(kgTriples(t(s, d, "lineitem")),
+        "subj", "pred", "obj")),
+
+    // ---- packed entity cards with the mega-entity fact cap (WindowGroupLimit) ----
+    "q53_entity_cards" -> ((s, d) =>
+      graft.kg.Graph.entityCards(kgTriples(t(s, d, "lineitem")),
+        "subj", "pred", "obj", k = 5)),
+
+    // ---- corpus token vocabulary (tokenizer-training feed) ----
+    "q54_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(t(s, d, "documents"), "text",
+        minCount = 50L, topN = 100)),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -554,6 +586,13 @@ object SparkEntry {
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)"
   private val toksLowerSql =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  /** SQL twin of [[kgTriples]] — keep in sync. */
+  private val kgTriplesSql =
+    """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS subj,
+              'rf_' || l_returnflag AS pred,
+              'p' || CAST(l_partkey AS VARCHAR) AS obj
+       FROM lineitem"""
 
   /** Shared SQL fragment: distinct 4-gram shingle list (matches Dedup.shingles n=4). */
   private val shingles4Sql =
@@ -1363,6 +1402,38 @@ object SparkEntry {
                  CAST(max(cum_toks) AS BIGINT) AS cum_tokens
           FROM c WHERE cum_toks <= CASE lang WHEN 'en' THEN 4000 ELSE 2500 END
           GROUP BY lang""",
+
+    "q51_entity_degree" ->
+      s"""WITH tr AS ($kgTriplesSql)
+          SELECT subj, count(*) AS degree,
+                 count(DISTINCT pred) AS n_pred, count(DISTINCT obj) AS n_obj,
+                 CAST(count(*) >= 600 AS BIGINT) AS is_hub
+          FROM tr GROUP BY subj""",
+
+    "q52_pred_profile" ->
+      s"""WITH tr AS ($kgTriplesSql)
+          SELECT pred, count(*) AS n_triples,
+                 count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj,
+                 CAST(floor(10000 * count(*) / count(DISTINCT subj)) AS BIGINT)
+                   AS fanout_bp
+          FROM tr GROUP BY pred""",
+
+    "q53_entity_cards" ->
+      s"""WITH tr AS ($kgTriplesSql),
+          ranked AS (SELECT subj, pred, obj,
+                            row_number() OVER (PARTITION BY subj
+                                               ORDER BY pred, obj) AS rn
+                     FROM tr)
+          SELECT subj, count(*) AS n_facts,
+                 string_agg(pred || '=' || obj, '; ' ORDER BY pred || '=' || obj)
+                   AS card
+          FROM ranked WHERE rn <= 5 GROUP BY subj""",
+
+    "q54_vocab" ->
+      s"""SELECT token, count(*) AS n
+          FROM (SELECT unnest($toksLowerSql) AS token FROM documents)
+          GROUP BY token HAVING count(*) >= 50
+          ORDER BY n DESC, token ASC LIMIT 100""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

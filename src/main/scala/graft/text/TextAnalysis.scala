@@ -27,6 +27,27 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /**
+   * Corpus token vocabulary for tokenizer training: lowercase whitespace tokens with
+   * corpus frequency >= `minCount`, ranked by (count desc, token asc — fully
+   * deterministic) and truncated to the `topN` head. This is the seed table a BPE/
+   * WordPiece trainer consumes (and the frequency feed for the reference's value-prob
+   * priors, /root/reference/sql/ner_prob.sql analog at the corpus level).
+   *
+   * Scale shape: explode → one hash-aggregate shuffle keyed by token (map-side
+   * partials absorb Zipf skew: "the" partially counts on every mapper before one
+   * reducer sees it); the global topN ranking is a TakeOrderedAndProject over the
+   * (already minCount-filtered) vocabulary, never a single-partition full sort and
+   * never a global window. Rank is derivable from the returned (n desc, token asc)
+   * total order, so no rank column is materialized.
+   */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long, topN: Int): DataFrame =
+    df.select(explode(wsTokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), asc("token"))
+      .limit(topN)
+
   /** English-ish stopwords used for quality scoring (deterministic, frozen list). */
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",

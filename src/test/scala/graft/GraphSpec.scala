@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kg.Graph
+
+/** Hand-computed fixtures for the graph-side finishing operators: degree statistics,
+  * mega-entity fact capping, predicate functionality profiles, and entity cards. */
+class GraphSpec extends AnyFunSuite with SparkTest {
+
+  private def triples = {
+    import spark.implicits._
+    Seq(
+      ("e1", "born_in", "paris"),
+      ("e1", "works_at", "acme"),
+      ("e1", "works_at", "globex"),
+      ("e2", "born_in", "rome"),
+      ("hub", "mentions", "a"), ("hub", "mentions", "b"), ("hub", "mentions", "c"),
+      ("hub", "mentions", "d"), ("hub", "born_in", "x")
+    ).toDF("subj", "pred", "obj")
+  }
+
+  test("degreeStats: degree, distinct predicates, distinct objects per subject") {
+    val out = Graph.degreeStats(triples, "subj", "pred", "obj")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      "e1" -> ((3L, 2L, 3L)),
+      "e2" -> ((1L, 1L, 1L)),
+      "hub" -> ((5L, 2L, 5L))))
+  }
+
+  test("capHubs: deterministic (pred, obj) head per subject, true degree attached") {
+    val out = Graph.capHubs(triples, "subj", "pred", "obj", maxDeg = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._4))
+    // hub keeps born_in=x, mentions=a, mentions=b (byte order); degree stays 5
+    assert(out.filter(_._1 == "hub").map(t => (t._2, t._3, t._5)).toSeq ==
+      Seq(("born_in", "x", 5L), ("mentions", "a", 5L), ("mentions", "b", 5L)))
+    // under-cap subjects keep everything
+    assert(out.count(_._1 == "e1") == 3)
+    assert(out.count(_._1 == "e2") == 1)
+  }
+
+  test("predicateProfile: fanout in exact basis points") {
+    val out = Graph.predicateProfile(triples, "subj", "pred", "obj")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // born_in: 3 triples over 3 subjects → functional, 10000 bp
+    assert(out("born_in") == ((3L, 3L, 3L, 10000L)))
+    // works_at: 2 triples over 1 subject → 20000 bp
+    assert(out("works_at") == ((2L, 1L, 2L, 20000L)))
+    // mentions: 4 triples over 1 subject → 40000 bp
+    assert(out("mentions") == ((4L, 1L, 4L, 40000L)))
+  }
+
+  test("entityCards: capped, sorted, order-insensitive card bytes") {
+    val out = Graph.entityCards(triples, "subj", "pred", "obj", k = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("e1") == ((3L, "born_in=paris; works_at=acme; works_at=globex")))
+    assert(out("e2") == ((1L, "born_in=rome")))
+    // hub capped at 3 facts in (pred, obj) order
+    assert(out("hub") == ((3L, "born_in=x; mentions=a; mentions=b")))
+  }
+
+  test("vocabulary: min-count gate and deterministic topN head") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The the THE apple apple banana"),
+      (2L, "the apple zebra")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.vocabulary(docs, "text", minCount = 2L, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // counts: the=4, apple=3, banana=1 (cut), zebra=1 (cut); topN=2 keeps the head
+    assert(out.toSeq == Seq(("the", 4L), ("apple", 3L)))
+  }
+}

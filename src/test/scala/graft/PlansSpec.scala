@@ -133,4 +133,17 @@ class PlansSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("WindowGroupLimit"),
       s"quota rank<=k no longer prunes groups before the full sort:\n$p")
   }
+
+  test("q53: entity-card fact cap keeps the WindowGroupLimit pushdown") {
+    val p = formatted("q53_entity_cards")
+    assert(p.contains("WindowGroupLimit"),
+      s"mega-entity fact cap no longer prunes groups before the full sort:\n$p")
+  }
+
+  test("q54: vocabulary topN plans as TakeOrdered, never a global sort+window") {
+    val p = formatted("q54_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary topN lost the TakeOrderedAndProject shape:\n$p")
+    assert(!p.contains("Window"), s"vocabulary grew a window:\n$p")
+  }
 }

@@ -40,11 +40,13 @@ object CurateRun {
         docs, evalSet, cfg, sd, s"documents@$sfDir")
       case None => graft.corpus.CuratePipeline.run(docs, evalSet, cfg)
     }
-    val agg = curated.agg(
+    // write FIRST, then audit the written table — the un-checkpointed path is a lazy
+    // 5-stage plan (incl. iterative CC) and must not execute twice
+    curated.write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    val agg = spark.read.parquet(outDir).agg(
       count(lit(1)), coalesce(sum("n_toks"), lit(0L)),
       coalesce(sum("n_emails") + sum("n_ips") + sum("n_phones"), lit(0L))).head()
     val (nOut, toksOut, piiOut) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    curated.write.mode("overwrite").partitionBy("lang").parquet(outDir)
     val nIn = docs.count()
     val sec = (System.nanoTime() - t0) / 1e9
     val mode = if (stageDir.isDefined) "curate-checkpointed" else "curate"

@@ -31,6 +31,7 @@ object RunKG {
     // persisted per-partition lineage lives in the checkpoint tables
     val metrics = new graft.runtime.MetricsCollector(spark)
     val t0 = System.nanoTime()
+    val startedAt = new java.sql.Timestamp(System.currentTimeMillis())
     val nTrain = math.min(nPages / 4, 200)
     // corpus generated on executors (no driver materialization, no input shuffle)
     val pages = graft.testgen.CorpusGen.pagesDS(nPages, partitions = cores * 4)
@@ -47,10 +48,19 @@ object RunKG {
         graft.pipeline.KGPipeline.runAndWrite(
           pages, goldAnnots, graft.testgen.CorpusGen.gazetteer, outDir)
     }
-    val rows = cps.agg(org.apache.spark.sql.functions.sum("rows_out")).head().getLong(0)
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, sum}
+    val fin = cps.agg(coalesce(sum("rows_out"), lit(0L)),
+      max(col("completed_at") >= lit(startedAt))).head()
+    val rows = fin.getLong(0)
+    // On a fully-resumed run no bucket was rewritten this invocation, the observe
+    // node never executes (documented Metrics contract) and the metric can never
+    // arrive — don't stall the full await timeout waiting for it.
+    val wroteThisRun = !fin.isNullAt(1) && fin.getBoolean(1)
     val sec = (System.nanoTime() - t0) / 1e9
     val mode = if (stageDir.isDefined) "kg-checkpointed" else "kg"
-    val live = metrics.await(graft.pipeline.KGPipeline.CanonicalMetric, 15000L)
+    val live = (if (wroteThisRun)
+        metrics.await(graft.pipeline.KGPipeline.CanonicalMetric, 15000L)
+      else None)
       .map(m => s""","observed":{"triples":${m("triples")},""" +
         s""""subjects_approx":${m("subjects_approx")},""" +
         s""""docs_approx":${m("docs_approx")}}""")

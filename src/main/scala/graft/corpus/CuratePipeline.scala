@@ -86,33 +86,41 @@ object CuratePipeline {
       Seq("doc_id"), "left_anti")
 
   /** Stage 4 — PII scrub; the curated text IS the redacted text from here on.
-    * A pure projection (audit counts + rewrite in one narrow pass) — NOT a join-back
-    * of [[TextAnalysis.redactPii]]'s output, which would build a same-lineage
+    * A pure projection (audit counts + rewrite in one narrow pass, sharing
+    * [[TextAnalysis]]'s single definition of the rule chain) — NOT a join-back of
+    * [[TextAnalysis.redactPii]]'s output, which would build a same-lineage
     * self-join (the ambiguous pattern the Eval scorer had to be cured of). */
   def redact(docs: DataFrame): DataFrame = {
     val t = col("text")
     docs
-      .withColumn("n_emails",
-        size(regexp_extract_all(t, lit(TextAnalysis.PiiEmail), lit(0))).cast("long"))
-      .withColumn("n_ips",
-        size(regexp_extract_all(t, lit(TextAnalysis.PiiIp), lit(0))).cast("long"))
-      .withColumn("n_phones",
-        size(regexp_extract_all(t, lit(TextAnalysis.PiiPhone), lit(0))).cast("long"))
-      .withColumn("text",
-        regexp_replace(regexp_replace(regexp_replace(t,
-          TextAnalysis.PiiEmail, "<EMAIL>"),
-          TextAnalysis.PiiIp, "<IP>"),
-          TextAnalysis.PiiPhone, "<PHONE>"))
+      .withColumn("n_emails", TextAnalysis.piiEmailCount(t))
+      .withColumn("n_ips", TextAnalysis.piiIpCount(t))
+      .withColumn("n_phones", TextAnalysis.piiPhoneCount(t))
+      .withColumn("text", TextAnalysis.redactedText(t))
   }
 
-  /** Stage 5 — mixing: sample → domain quota → token budget, all deterministic. */
+  /** Stage 5 — mixing: sample → domain quota → token budget, all deterministic.
+    *
+    * Disabled knobs cost nothing: with `quotaK = Int.MaxValue` the per-domain window
+    * shuffle is skipped entirely (no `rank` audit column), and with no budgets
+    * configured the per-stratum cumulative window is replaced by a narrow
+    * token-count projection (no `cum_toks` column) — the common "no quota" config
+    * must not pay two corpus-wide shuffles that filter nothing. */
   def mix(docs: DataFrame, cfg: Config): DataFrame = {
     val sampled = Curation.stratifiedSample(docs, "doc_id", "lang",
       cfg.sampleRatesBp, cfg.sampleDefaultBp)
-    val capped = Curation.domainQuota(sampled, "doc_id", "source", "n_toks", cfg.quotaK)
-    Curation.tokenBudgetMix(capped.withColumnRenamed("n_toks", "n_toks_pre"),
-        "doc_id", "lang", "text", cfg.budgets, cfg.defaultBudget)
-      .drop("n_toks_pre")
+    val capped =
+      if (cfg.quotaK == Int.MaxValue) sampled
+      else Curation.domainQuota(sampled, "doc_id", "source", "n_toks", cfg.quotaK)
+    if (cfg.budgets.isEmpty && cfg.defaultBudget == Long.MaxValue / 4)
+      // budget disabled — still refresh n_toks to the POST-redaction count the
+      // budget stage would otherwise produce (downstream audits sum it)
+      capped.withColumn("n_toks",
+        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+    else
+      Curation.tokenBudgetMix(capped.withColumnRenamed("n_toks", "n_toks_pre"),
+          "doc_id", "lang", "text", cfg.budgets, cfg.defaultBudget)
+        .drop("n_toks_pre")
   }
 
   /** The whole pipeline, un-checkpointed (test/composition surface). */
@@ -132,11 +140,25 @@ object CuratePipeline {
       implicit spark: SparkSession): DataFrame = {
     val cps = StageCheckpoint(stageDir)
     val fp = inputFingerprint + "|" + cfg.fingerprint
+    // The eval set is an INPUT to decontamination: its content identity must be in
+    // the fingerprint of c3 and everything downstream, or a resumed run with a new
+    // benchmark would silently reuse stale decontamination output — the exact leak
+    // the stage exists to prevent. One tiny job (eval sets are MB-scale by contract).
+    val fpEval = fp + "|eval=" + evalFingerprint(evalSet)
     val s1 = cps.materialize("c1_quality", fp)(qualityGate(docs, cfg))
     val s2 = cps.materialize("c2_dedup", fp)(dedupCanonical(s1, cfg))
-    val s3 = cps.materialize("c3_decontaminate", fp)(decontaminate(s2, evalSet, cfg))
-    val s4 = cps.materialize("c4_redact", fp)(redact(s3))
-    cps.materialize("c5_mix", fp)(mix(s4, cfg))
+    val s3 = cps.materialize("c3_decontaminate", fpEval)(decontaminate(s2, evalSet, cfg))
+    val s4 = cps.materialize("c4_redact", fpEval)(redact(s3))
+    cps.materialize("c5_mix", fpEval)(mix(s4, cfg))
+  }
+
+  /** Order-insensitive content hash of the eval set: xor of per-row xxhash64 over all
+    * columns, plus the row count (so an empty set is distinct from a cancelling xor). */
+  private[graft] def evalFingerprint(evalSet: DataFrame): String = {
+    val r = evalSet.agg(
+      coalesce(expr(s"bit_xor(xxhash64(${evalSet.columns.mkString(", ")}))"), lit(0L)),
+      count(lit(1))).head()
+    s"${java.lang.Long.toHexString(r.getLong(0))}:${r.getLong(1)}"
   }
 
   /** The checkpointed stage names in order (for lineage/metrics readers). */

@@ -154,16 +154,32 @@ object Dedup {
     val survivors = hashed.join(
       keep.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = jaccardPairs(survivors, "doc_id", "text", n, minJaccardBp, maxPosting)
-    // CC operates on strings; zero-padding keeps string-min == numeric-min
+    // CC operates on strings; encode ids sign-safely at FULL long width so string-min
+    // == numeric-min over the whole id domain: bias by 2^63 into [0, 2^64) via
+    // decimal(20,0) arithmetic (exact), then zero-pad to the fixed 20-digit width.
+    // (lpad alone TRUNCATES ids wider than the pad and orders negatives wrongly.)
     val edges = pairs.select(
-      lpad(col("id_a").cast("string"), 12, "0").as("src"),
-      lpad(col("id_b").cast("string"), 12, "0").as("dst"))
+      signSafeKey(col("id_a")).as("src"), signSafeKey(col("id_b")).as("dst"))
     val comp = graft.canon.ConnectedComponents.run(edges)
-      .select(col("node").cast("long").as("keep_id"),
-        col("component").cast("long").as("comp"))
+      .select(signSafeUnkey(col("node")).as("keep_id"),
+        signSafeUnkey(col("component")).as("comp"))
     toKeep.join(comp, Seq("keep_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("keep_id")).as("canon_id"))
   }
+
+  /** 2^63 as exact decimal — the bias that maps signed-long order onto unsigned. */
+  private val LongBias = new java.math.BigDecimal("9223372036854775808")
+
+  /** Sign-safe fixed-width string key for a long id: (id + 2^63) zero-padded to 20
+    * digits, so lexicographic order == numeric order for EVERY long (negative ids and
+    * ids wider than the pad included). Exact decimal arithmetic, engine-portable. */
+  private def signSafeKey(id: Column): Column =
+    lpad((id.cast("decimal(20,0)") + lit(LongBias)).cast("decimal(20,0)")
+      .cast("string"), 20, "0")
+
+  /** Inverse of [[signSafeKey]]. */
+  private def signSafeUnkey(key: Column): Column =
+    (key.cast("decimal(21,0)") - lit(LongBias)).cast("long")
 
   /**
    * Benchmark decontamination: corpus documents sharing at least one word n-gram

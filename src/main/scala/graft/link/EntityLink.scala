@@ -40,10 +40,12 @@ object EntityLink {
       .withColumn("toks", array_distinct(split(col("norm"), " ")))
       .withColumn("block",
         concat(substring(col("norm"), 1, 1), lit(":"), size(col("toks"))))
-    // cap pathological blocks (mega-entity guard)
+    // cap pathological blocks (mega-entity guard); tie-break on the unique form so
+    // colliding normalized forms keep a parallelism-invariant winner set
     val capped = normed
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("block").orderBy("norm")))
+        org.apache.spark.sql.expressions.Window.partitionBy("block")
+          .orderBy("norm", "form")))
       .filter(col("rn") <= maxBlockSize).drop("rn")
 
     val a = capped.select(col("form").as("src"), col("toks").as("ta"), col("block"))
@@ -87,7 +89,8 @@ object EntityLink {
           size(array_distinct(split(col("norm"), " ")))))
     val capped = normed
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("block").orderBy("norm")))
+        org.apache.spark.sql.expressions.Window.partitionBy("block")
+          .orderBy("norm", "form"))) // form is distinct — deterministic under ties
       .filter(col("rn") <= maxBlockSize).drop("rn")
     val a = capped.select(col("form").as("src"), col("qv").as("va"), col("block"))
     val b = capped.select(col("form").as("dst"), col("qv").as("vb"), col("block"))

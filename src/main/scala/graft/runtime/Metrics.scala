@@ -56,7 +56,20 @@ final class MetricsCollector(spark: SparkSession) extends QueryExecutionListener
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     qe.observedMetrics.foreach { case (name, row) =>
-      seen.merge(name, (1L, row), (a, b) => (a._1 + b._1, b._2))
+      // keep the firing count, but never let a TRIVIAL re-observation (all counters
+      // zero/null — a cache-served or AQE-collapsed re-execution that saw no rows)
+      // overwrite a real metric row already collected for this name
+      seen.merge(name, (1L, row),
+        (a, b) => (a._1 + b._1, if (trivialRow(b._2) && !trivialRow(a._2)) a._2 else b._2))
+    }
+
+  /** A metric row carrying no evidence of work: every field zero or null. */
+  private[graft] def trivialRow(row: Row): Boolean =
+    (0 until row.length).forall { i =>
+      row.isNullAt(i) || (row.get(i) match {
+        case n: java.lang.Number => n.doubleValue() == 0.0
+        case _ => false
+      })
     }
 
   override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()

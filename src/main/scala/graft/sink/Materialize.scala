@@ -155,7 +155,7 @@ object Materialize {
         withBucket(dedup(dedupPrecedence(triples.toDF()).as[Triple]), nBuckets),
         observeName)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pending = pendingBuckets(bucketed, path + "_checkpoints")
+    val pending = pendingBuckets(bucketed, path + "_checkpoints", Some(path))
       .collect().map(_.getInt(0)) // ≤ nBuckets rows — driver-safe
     if (pending.nonEmpty) {
       val todo = bucketed.filter(col("bucket").isin(pending.map(Integer.valueOf): _*))
@@ -174,9 +174,17 @@ object Materialize {
     // created — return an empty checkpoint table instead of PATH_NOT_FOUND. Only that
     // legitimate case is absorbed: a transient FS error or corrupt checkpoint file
     // must PROPAGATE, not masquerade as "nothing completed" and trigger silent rewrites.
-    if (checkpointExists(path + "_checkpoints"))
-      spark.read.parquet(path + "_checkpoints")
-    else {
+    if (checkpointExists(path + "_checkpoints")) {
+      // the FILE is append-only lineage (a re-verified bucket appends a fresh row);
+      // the RETURNED view is one row per bucket — the latest — so downstream sums
+      // never double-count a rewritten bucket
+      val tbl = spark.read.parquet(path + "_checkpoints")
+      tbl.groupBy(col("bucket"))
+        .agg(max_by(struct(tbl.columns.filterNot(_ == "bucket").map(col): _*),
+          col("completed_at")).as("w"))
+        .select(col("bucket") +: tbl.columns.filterNot(_ == "bucket")
+          .map(c => col(s"w.$c").as(c)): _*)
+    } else {
       import spark.implicits._
       Seq.empty[(Int, Long, Long, String, java.sql.Timestamp)]
         .toDF("bucket", "rows_out", "output_hash", "stage", "completed_at")
@@ -189,12 +197,23 @@ object Materialize {
       implicit spark: SparkSession): Boolean =
     graft.util.Fs.parquetDataExists(checkpointPath)
 
-  /** Resume: which buckets still need writing given an existing checkpoint table. */
-  def pendingBuckets(all: DataFrame, checkpointPath: String)(
+  /** Resume: which buckets still need writing given an existing checkpoint table.
+    *
+    * When `dataPath` is given, a committed bucket whose data partition has VANISHED
+    * (external deletion, FS loss — the checkpoint row is written after the data, so a
+    * crash can't produce this) is treated as pending again: the checkpoint is trusted
+    * only as far as the data it describes, never instead of it. ≤ nBuckets FS probes. */
+  def pendingBuckets(all: DataFrame, checkpointPath: String,
+      dataPath: Option[String] = None)(
       implicit spark: SparkSession): DataFrame = {
-    val done = if (checkpointExists(checkpointPath))
-      spark.read.parquet(checkpointPath).select(col("bucket"))
-    else all.sparkSession.range(0).select(col("id").cast("int").as("bucket"))
-    all.select(col("bucket")).distinct().join(done, Seq("bucket"), "left_anti")
+    import spark.implicits._
+    val committed: Seq[Int] = if (checkpointExists(checkpointPath))
+      spark.read.parquet(checkpointPath).select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq // ≤ nBuckets rows — driver-safe
+    else Seq.empty
+    val verified = dataPath.fold(committed)(dp =>
+      committed.filter(b => graft.util.Fs.parquetDataExists(s"$dp/bucket=$b")))
+    all.select(col("bucket")).distinct()
+      .join(verified.toDF("bucket"), Seq("bucket"), "left_anti")
   }
 }

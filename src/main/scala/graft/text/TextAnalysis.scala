@@ -156,13 +156,24 @@ object TextAnalysis {
    */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(col(idCol).as("doc_id"),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>").as("redacted"),
-      size(regexp_extract_all(t, lit(PiiEmail), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(PiiIp), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(t, lit(PiiPhone), lit(0))).cast("long").as("n_phones"))
+    df.select(col(idCol).as("doc_id"), redactedText(t).as("redacted"),
+      piiEmailCount(t).as("n_emails"), piiIpCount(t).as("n_ips"),
+      piiPhoneCount(t).as("n_phones"))
   }
+
+  /** The PII replacement chain as a Column — the ONE definition of rule order; every
+    * redaction surface (this table op, the curation pipeline stage) composes it. */
+  def redactedText(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(t,
+      PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>")
+
+  /** Audit-count columns matching [[redactedText]]'s rules. */
+  def piiEmailCount(t: Column): Column =
+    size(regexp_extract_all(t, lit(PiiEmail), lit(0))).cast("long")
+  def piiIpCount(t: Column): Column =
+    size(regexp_extract_all(t, lit(PiiIp), lit(0))).cast("long")
+  def piiPhoneCount(t: Column): Column =
+    size(regexp_extract_all(t, lit(PiiPhone), lit(0))).cast("long")
 
   /** Frozen per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Deterministic; no model download (zero-egress). */

@@ -62,8 +62,11 @@ class CuratePipelineSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     val cps = graft.runtime.StageCheckpoint(dir)(spark)
     val fp = "fix1|" + cfg.fingerprint
+    val fpEval = fp + "|eval=" + CuratePipeline.evalFingerprint(evalSet)
     CuratePipeline.StageNames.foreach { s =>
-      assert(cps.wouldResume(s, fp), s"stage $s did not commit")
+      // c1/c2 are keyed by (input, config); c3 onward also carry the eval identity
+      val expected = if (s == "c1_quality" || s == "c2_dedup") fp else fpEval
+      assert(cps.wouldResume(s, expected), s"stage $s did not commit")
       assert(cps.lineage(s).columns.contains("rows_total"))
     }
     val second = CuratePipeline.runCheckpointed(fixture, evalSet, cfg, dir, "fix1")(spark)
@@ -72,5 +75,37 @@ class CuratePipelineSpec extends AnyFunSuite with SparkTest {
     // a config change is a new fingerprint → stages recompute, not reuse
     assert(!cps.wouldResume("c1_quality",
       "fix1|" + Config(minTokens = 11L).fingerprint))
+  }
+
+  test("disabled mixing knobs pay zero window shuffles") {
+    val plan = CuratePipeline.mix(fixture, CuratePipeline.Config())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no-op quota/budget still paid a window:\n$plan")
+    // enabled knobs DO window (sanity that the guard keys off the right sentinels)
+    val planOn = CuratePipeline.mix(
+      fixture.withColumn("n_toks", org.apache.spark.sql.functions.lit(5L)),
+      CuratePipeline.Config(quotaK = 1, budgets = Map("en" -> 10L)))
+      .queryExecution.executedPlan.toString
+    assert(planOn.contains("Window"))
+  }
+
+  test("a changed eval set invalidates decontamination (and downstream) on resume") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_eval").toString
+    val cfg = Config()
+    val first = CuratePipeline.runCheckpointed(fixture, evalSet, cfg, dir, "fix1")(spark)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(first == Set(1L, 6L))
+    // new benchmark added: doc 1's opening 8-gram is now contaminated
+    val evalSet2 = evalSet.union(Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"))
+    val second = CuratePipeline.runCheckpointed(fixture, evalSet2, cfg, dir, "fix1")(spark)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // without the eval identity in the c3 fingerprint this reused the stale
+    // decontamination output and leaked doc 1 into the corpus
+    assert(second == Set(6L), s"stale decontamination output reused: $second")
+    // c1/c2 did NOT recompute — their fingerprints are eval-independent
+    val cps = graft.runtime.StageCheckpoint(dir)(spark)
+    assert(cps.wouldResume("c1_quality", "fix1|" + cfg.fingerprint))
   }
 }

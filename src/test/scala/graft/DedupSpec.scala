@@ -75,6 +75,25 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(canon == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L))
   }
 
+  test("canonicalDocs: ids wider than 12 digits and negative ids keep exact clustering") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      // 14-digit ids, distinct texts that are near-dups: must merge to the NUMERIC min
+      (10000000000001L, a),
+      (10000000000002L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"),
+      // negative ids (xxhash64-style), near-dups: canon must be the numeric min (-6)
+      (-5L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),
+      (-6L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 qq"),
+      (7L, "totally unrelated text with its own words here")).toDF("doc_id", "text")
+    val canon = Dedup.canonicalDocs(df, "doc_id", "text",
+        n = 4, minJaccardBp = 3000L)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon == Map(
+      10000000000001L -> 10000000000001L, 10000000000002L -> 10000000000001L,
+      -5L -> -6L, -6L -> -6L, 7L -> 7L))
+  }
+
   test("simhash_md5 native kernel == the explode + bit-sum aggregate formulation") {
     import spark.implicits._
     val df = Seq(

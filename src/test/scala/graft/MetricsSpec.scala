@@ -39,6 +39,19 @@ class MetricsSpec extends AnyFunSuite with SparkTest {
     } finally mc.close()
   }
 
+  test("a trivial (all-zero) re-observation never overwrites a real metric row") {
+    import org.apache.spark.sql.Row
+    val mc = new MetricsCollector(spark)
+    try {
+      // the merge guard itself: zero/null rows are trivial, anything carrying a
+      // nonzero number or a string is not
+      assert(mc.trivialRow(Row(0L, 0.0, null)))
+      assert(!mc.trivialRow(Row(42L, 0L)))
+      assert(!mc.trivialRow(Row(0L, "materialize")))
+      assert(mc.trivialRow(Row())) // degenerate: no fields → no evidence
+    } finally mc.close()
+  }
+
   test("resumable write: counters fire on real work; full resume reads lineage") {
     import spark.implicits._
     val mc = new MetricsCollector(spark)

@@ -215,4 +215,25 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     val mtimes2 = new java.io.File(path).listFiles().map(f => f.getName -> f.lastModified).toMap
     assert(mtimes === mtimes2, "complete checkpoint still rewrote partitions")
   }
+
+  test("writeResumable: a committed bucket whose DATA vanished is rewritten") {
+    import spark.implicits._
+    val path = tmpDir() + "/triples"
+    val triples = spark.createDataset((0 until 200).map(i =>
+      Triple(s"subj$i", "p", s"o$i", s"https://x/$i", 0, 1, 1L, 1.0)))
+    val nB = 8
+    Materialize.writeResumable(triples, path, nB)
+    assert(spark.read.parquet(path).count() === 200)
+    // external data loss: bucket 2's partition disappears, its checkpoint row stays —
+    // the checkpoint must be trusted only as far as the data it describes
+    val d = new java.io.File(s"$path/bucket=2")
+    d.listFiles().foreach(_.delete()); d.delete()
+    assert(spark.read.parquet(path).count() < 200)
+    val cps = Materialize.writeResumable(triples, path, nB)
+    assert(spark.read.parquet(path).count() === 200, "vanished bucket not rewritten")
+    // returned view: ONE row per bucket (no double count); file keeps the audit trail
+    assert(cps.count() === nB)
+    assert(cps.agg(org.apache.spark.sql.functions.sum("rows_out")).head.getLong(0) === 200L)
+    assert(spark.read.parquet(path + "_checkpoints").count() === nB + 1)
+  }
 }

@@ -56,6 +56,23 @@ object SparkEntry {
       concat(lit("rf_"), col("l_returnflag")).as("pred"),
       concat(lit("p"), col("l_partkey").cast("string")).as("obj"))
 
+  /** Two deterministic crawl snapshots for the q55/q56 incremental-maintenance
+    * operators: prev omits doc_id%5==0 (those become `added`), curr rewrites
+    * doc_id%7==0 (→ `changed`) and omits doc_id%11==0 (→ `removed`). The SQL twin is
+    * [[snapshotsSql]] — keep them in sync. */
+  private def snapshots(documents: DataFrame): (DataFrame, DataFrame) = {
+    val docs = documents.select(
+      concat(lit("u"), col("doc_id").cast("string")).as("url"),
+      col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("url"), md5(col("text")).as("h"))
+    val curr = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("url"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text"))).as("h"))
+    (prev, curr)
+  }
+
   /** Flagship: pattern-based triple extraction over the sf0.001 documents corpus via
     * the full normalize → tokenize → sentence-grid → broadcast-matcher path. */
   def entry(spark: SparkSession): DataFrame = {
@@ -563,6 +580,29 @@ object SparkEntry {
       TextAnalysis.vocabulary(t(s, d, "documents"), "text",
         minCount = 50L, topN = 100)),
 
+    // ---- incremental maintenance: snapshot diff (added/changed/removed/unchanged) --
+    // Two synthetic snapshots derived deterministically from documents: prev drops
+    // doc_id%5==0 (→ added), curr edits doc_id%7==0 (→ changed) and drops
+    // doc_id%11==0 (→ removed). The SAME derivation is `snapshotsSql` in the oracle.
+    "q55_snapshot_diff" -> ((s, d) => {
+      val (prev, curr) = snapshots(t(s, d, "documents"))
+      graft.kg.Incremental.snapshotDiff(prev, curr, "url", "h")
+    }),
+
+    // ---- incremental maintenance: delta merge == full rebuild of the new snapshot --
+    "q56_incremental_merge" -> ((s, d) => {
+      val (prev, curr) = snapshots(t(s, d, "documents"))
+      val diff = graft.kg.Incremental.snapshotDiff(prev, curr, "url", "h")
+      val store = prev.select(col("url").as("subj"),
+        lit("content_hash").as("pred"), col("h").as("obj"), col("url"))
+      val delta = curr
+        .join(graft.kg.Incremental.reextractUrls(diff), Seq("url"), "left_semi")
+        .select(col("url").as("subj"), lit("content_hash").as("pred"),
+          col("h").as("obj"), col("url"))
+      graft.kg.Incremental.mergeTriples(store, delta,
+        graft.kg.Incremental.dirtyUrls(diff), "url")
+    }),
+
     // ---- canonicalization: connected components over near-dup edges ----
     "q28_cc_neardup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -586,6 +626,16 @@ object SparkEntry {
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)"
   private val toksLowerSql =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  /** SQL twin of [[snapshots]] — keep in sync. */
+  private val snapshotsSql =
+    """docs AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, doc_id, text
+                FROM documents),
+       p AS (SELECT url, md5(text) AS h FROM docs WHERE doc_id % 5 <> 0),
+       c AS (SELECT url,
+                    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                             ELSE text END) AS h
+             FROM docs WHERE doc_id % 11 <> 0)"""
 
   /** SQL twin of [[kgTriples]] — keep in sync. */
   private val kgTriplesSql =
@@ -1434,6 +1484,31 @@ object SparkEntry {
           FROM (SELECT unnest($toksLowerSql) AS token FROM documents)
           GROUP BY token HAVING count(*) >= 50
           ORDER BY n DESC, token ASC LIMIT 100""",
+
+    "q55_snapshot_diff" ->
+      s"""WITH $snapshotsSql
+          SELECT COALESCE(p.url, c.url) AS url,
+                 CASE WHEN p.url IS NULL THEN 'added'
+                      WHEN c.url IS NULL THEN 'removed'
+                      WHEN p.h <> c.h THEN 'changed'
+                      ELSE 'unchanged' END AS change
+          FROM p FULL OUTER JOIN c ON p.url = c.url""",
+
+    "q56_incremental_merge" ->
+      s"""WITH $snapshotsSql,
+          diff AS (SELECT COALESCE(p.url, c.url) AS url,
+                          CASE WHEN p.url IS NULL THEN 'added'
+                               WHEN c.url IS NULL THEN 'removed'
+                               WHEN p.h <> c.h THEN 'changed'
+                               ELSE 'unchanged' END AS change
+                   FROM p FULL OUTER JOIN c ON p.url = c.url),
+          store AS (SELECT url AS subj, 'content_hash' AS pred, h AS obj, url FROM p),
+          delta AS (SELECT url AS subj, 'content_hash' AS pred, h AS obj, url FROM c
+                    WHERE url IN (SELECT url FROM diff
+                                  WHERE change IN ('added', 'changed')))
+          SELECT * FROM store
+          WHERE url NOT IN (SELECT url FROM diff WHERE change <> 'unchanged')
+          UNION ALL SELECT * FROM delta""",
 
     "q28_cc_neardup" ->
       s"""WITH RECURSIVE

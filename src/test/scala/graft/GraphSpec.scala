@@ -67,6 +67,40 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(out("hub") == ((3L, "born_in=x; mentions=a; mentions=b")))
   }
 
+  test("snapshotDiff classifies added/changed/removed/unchanged by content identity") {
+    import spark.implicits._
+    val prev = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("url", "content_hash")
+    val curr = Seq(("u1", "h1"), ("u2", "h2x"), ("u4", "h4")).toDF("url", "content_hash")
+    val out = graft.kg.Incremental.snapshotDiff(prev, curr)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("u1" -> "unchanged", "u2" -> "changed",
+      "u3" -> "removed", "u4" -> "added"))
+  }
+
+  test("incremental merge over the re-extracted slice equals a full rebuild") {
+    import spark.implicits._
+    // store triples carry their evidence url; two triples per url to show the purge
+    // drops ALL stale evidence, not one row
+    def extract(snap: Seq[(String, String)]) = snap.flatMap { case (u, h) =>
+      Seq((u, "hash", h, u), (u, "len", h.length.toString, u))
+    }.toDF("subj", "pred", "obj", "url")
+    val prevSnap = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3"))
+    val currSnap = Seq(("u1", "h1"), ("u2", "h2x"), ("u4", "h4"))
+    val diff = graft.kg.Incremental.snapshotDiff(
+      prevSnap.toDF("url", "content_hash"), currSnap.toDF("url", "content_hash"))
+    // delta = extraction of ONLY the reextract slice (added + changed)
+    val reex = graft.kg.Incremental.reextractUrls(diff)
+      .collect().map(_.getString(0)).toSet
+    assert(reex == Set("u2", "u4"), "re-extraction cost must be the changed slice only")
+    val delta = extract(currSnap.filter(s => reex(s._1)))
+    val merged = graft.kg.Incremental.mergeTriples(
+        extract(prevSnap), delta, graft.kg.Incremental.dirtyUrls(diff))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val rebuild = extract(currSnap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(merged == rebuild, "incremental merge diverged from the full rebuild")
+  }
+
   test("vocabulary: min-count gate and deterministic topN head") {
     import spark.implicits._
     val docs = Seq(

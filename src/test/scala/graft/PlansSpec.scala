@@ -134,6 +134,14 @@ class PlansSpec extends AnyFunSuite with SparkTest {
       s"quota rank<=k no longer prunes groups before the full sort:\n$p")
   }
 
+  test("q55/q56: incremental maintenance stays on equi-joins, never nested-loop") {
+    Seq("q55_snapshot_diff", "q56_incremental_merge").foreach { q =>
+      val p = formatted(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: the url-keyed diff/merge degenerated off the equi-join path:\n$p")
+    }
+  }
+
   test("q53: entity-card fact cap keeps the WindowGroupLimit pushdown") {
     val p = formatted("q53_entity_cards")
     assert(p.contains("WindowGroupLimit"),

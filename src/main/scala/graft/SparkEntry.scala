@@ -73,6 +73,19 @@ object SparkEntry {
     (prev, curr)
   }
 
+  /** Deterministic multi-capture crawl history for the q57/q58 temporal operators:
+    * every url has doc_id%3+1 captures (version v = 0..doc_id%3); the content hash
+    * varies per capture, lang is stable. SQL twin: [[crawlHistorySql]]. */
+  private def crawlHistory(documents: DataFrame): DataFrame =
+    documents.select(
+        concat(lit("u"), col("doc_id").cast("string")).as("url"),
+        col("doc_id"), col("text"), col("lang"))
+      .select(col("url"), col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), pmod(col("doc_id"), lit(3L)))).as("v"),
+        col("text"))
+      .select(col("url"), col("lang"), col("v"),
+        md5(concat(col("text"), col("v").cast("string"))).as("h"))
+
   /** Flagship: pattern-based triple extraction over the sf0.001 documents corpus via
     * the full normalize → tokenize → sentence-grid → broadcast-matcher path. */
   def entry(spark: SparkSession): DataFrame = {
@@ -579,6 +592,25 @@ object SparkEntry {
     "q54_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text",
         minCount = 50L, topN = 100)),
+
+    // ---- temporal: latest-capture dedup over a multi-version crawl history ----
+    // Crawl history derived deterministically from documents: doc_id%3+1 captures per
+    // url (version v = 0..doc_id%3), content hash changes per capture. The oracle
+    // derives the winner INDEPENDENTLY (max version = doc_id%3) rather than replaying
+    // the aggregate — a stronger check than an echo.
+    "q57_latest_crawl" -> ((s, d) =>
+      graft.kg.Temporal.latestSnapshot(crawlHistory(t(s, d, "documents")), "url", "v")),
+
+    // ---- temporal: per-fact observation history (first/last seen, support) ----
+    "q58_fact_history" -> ((s, d) => {
+      val crawls = crawlHistory(t(s, d, "documents"))
+      // two predicates per capture: a stable fact (lang) and a per-version fact (hash)
+      val triples = crawls.select(col("url").as("subj"), lit("lang").as("pred"),
+          col("lang").as("obj"), col("v"))
+        .unionByName(crawls.select(col("url").as("subj"), lit("hash").as("pred"),
+          col("h").as("obj"), col("v")))
+      graft.kg.Temporal.factHistory(triples, "subj", "pred", "obj", "v")
+    }),
 
     // ---- incremental maintenance: snapshot diff (added/changed/removed/unchanged) --
     // Two synthetic snapshots derived deterministically from documents: prev drops
@@ -1484,6 +1516,25 @@ object SparkEntry {
           FROM (SELECT unnest($toksLowerSql) AS token FROM documents)
           GROUP BY token HAVING count(*) >= 50
           ORDER BY n DESC, token ASC LIMIT 100""",
+
+    // q57's oracle derives the winning capture in closed form (max version per url is
+    // doc_id % 3 by construction) instead of replaying the max_by aggregate.
+    "q57_latest_crawl" ->
+      """SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, lang,
+                doc_id % 3 AS v,
+                md5(text || CAST(doc_id % 3 AS VARCHAR)) AS h
+         FROM documents""",
+
+    "q58_fact_history" ->
+      s"""WITH caps AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, lang, text,
+                               unnest(generate_series(0, doc_id % 3)) AS v
+                        FROM documents),
+          tr AS (SELECT url AS subj, 'lang' AS pred, lang AS obj, v FROM caps
+                 UNION ALL
+                 SELECT url, 'hash', md5(text || CAST(v AS VARCHAR)), v FROM caps)
+          SELECT subj, pred, obj, min(v) AS first_seen, max(v) AS last_seen,
+                 count(*) AS n_observations
+          FROM tr GROUP BY subj, pred, obj""",
 
     "q55_snapshot_diff" ->
       s"""WITH $snapshotsSql

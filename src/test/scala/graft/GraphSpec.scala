@@ -101,6 +101,44 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(merged == rebuild, "incremental merge diverged from the full rebuild")
   }
 
+  test("latestSnapshot: one winning capture per url, all columns from the same row") {
+    import spark.implicits._
+    val crawls = Seq(
+      ("u1", 1L, "old text", "h_old"),
+      ("u1", 3L, "new text", "h_new"),
+      ("u1", 2L, "mid text", "h_mid"),
+      ("u2", 5L, "only", "h_only")).toDF("url", "ts", "text", "h")
+    val out = graft.kg.Temporal.latestSnapshot(crawls, "url", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(out == Map("u1" -> ((3L, "new text", "h_new")),
+      "u2" -> ((5L, "only", "h_only"))))
+    // timestamp tie: the winner is deterministic (hash tie-break), never a chimera
+    val tied = Seq(("u1", 1L, "a", "ha"), ("u1", 1L, "b", "hb"))
+      .toDF("url", "ts", "text", "h")
+    val w1 = graft.kg.Temporal.latestSnapshot(tied, "url", "ts").collect().head
+    val w2 = graft.kg.Temporal.latestSnapshot(tied.repartition(7), "url", "ts")
+      .collect().head
+    assert(w1 == w2, "tie winner depends on parallelism")
+    assert(Set(("a", "ha"), ("b", "hb"))((w1.getString(2), w1.getString(3))),
+      "winner mixed columns from different captures")
+  }
+
+  test("factHistory + staleFacts: first/last seen, support, expiry watermark") {
+    import spark.implicits._
+    val triples = Seq(
+      ("s1", "p", "o1", 1L), ("s1", "p", "o1", 4L), ("s1", "p", "o1", 2L),
+      ("s2", "p", "o2", 1L)).toDF("subj", "pred", "obj", "ts")
+    val hist = graft.kg.Temporal.factHistory(triples, "subj", "pred", "obj", "ts")
+    val out = hist.collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map("s1" -> ((1L, 4L, 3L)), "s2" -> ((1L, 1L, 1L))))
+    val stale = graft.kg.Temporal.staleFacts(hist,
+        org.apache.spark.sql.functions.lit(2L))
+      .collect().map(_.getString(0)).toSet
+    assert(stale == Set("s2"), "only facts unseen since the watermark expire")
+  }
+
   test("vocabulary: min-count gate and deterministic topN head") {
     import spark.implicits._
     val docs = Seq(

@@ -200,6 +200,53 @@ object StreamExtract {
       }
   }
 
+  /**
+   * Streaming latest-capture dedup — the continuous-ingest analog of
+   * [[graft.kg.Temporal.latestSnapshot]]: keyed by url, a capture is emitted iff its
+   * warc_ts is strictly newer than the newest capture already seen for that url, so
+   * the emitted stream is a monotone improvement log per url (append-mode legal — no
+   * retractions). Compacting the emitted table with the batch `latestSnapshot` yields
+   * exactly the newest capture per url; out-of-order and duplicate captures are
+   * swallowed here.
+   *
+   * State per url is ONE timestamp, and (same contract as [[dedupedTriples]]) it
+   * EXPIRES via an event-time timeout `stateTtlMs` past the url's newest capture —
+   * without it, state grows with distinct-url cardinality forever on an unbounded
+   * crawl. After expiry a later stale capture can re-emit; the batch compaction
+   * removes it at rest. Pass None for the unbounded-state exact mode.
+   */
+  def latestCaptures(pages: Dataset[Page],
+      stateTtlMs: Option[Long] = Some(30L * 24 * 3600 * 1000))(
+      implicit spark: SparkSession): Dataset[Page] = {
+    import spark.implicits._
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    val streaming = pages.isStreaming
+    val src = stateTtlMs match {
+      case Some(ms) if streaming => pages.withWatermark("warc_ts", s"$ms milliseconds")
+      case _ => pages
+    }
+    src.groupByKey(_.url)
+      .flatMapGroupsWithState[Long, Page](OutputMode.Append(), timeout) {
+        case (_, _, state: GroupState[Long]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (_, rows, state: GroupState[Long]) =>
+          val batch = rows.toVector
+          val bestSeen = state.getOption.getOrElse(Long.MinValue)
+          val newest = batch.maxBy(_.warc_ts.getTime)
+          def renew(): Unit = for (ms <- stateTtlMs if streaming)
+            state.setTimeoutTimestamp(math.max(bestSeen, newest.warc_ts.getTime) + ms)
+          if (newest.warc_ts.getTime > bestSeen) {
+            state.update(newest.warc_ts.getTime)
+            renew()
+            Iterator.single(newest)
+          } else {
+            renew()
+            Iterator.empty
+          }
+      }
+  }
+
   /** Event-time tumbling-window counts per predicate with a watermark: the streaming
     * analog of the batch q12_hourly. Late data beyond `watermark` is dropped and window
     * state is evicted — bounded state at unbounded input. */

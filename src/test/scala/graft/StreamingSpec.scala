@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.model.{Page, Pattern}
 import graft.streaming.{StreamExtract, TimedTriple}
@@ -111,6 +112,41 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       input.addData(CorpusGen.pages(14).drop(10).map(_.page))
       q.processAllAvailable()
       assert(spark.table("dedup_t").count() > n1)
+    } finally q.stop()
+  }
+
+  test("streaming latest-capture log compacts to the batch latestSnapshot") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def cap(url: String, ts: Long, text: String): Page =
+      Page(url, new java.sql.Timestamp(ts), Array.emptyByteArray, text, "en")
+    val input = MemoryStream[Page]
+    val out = StreamExtract.latestCaptures(input.toDS(), stateTtlMs = None)
+    val q = out.writeStream.format("memory").queryName("latest_caps")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: first captures emit; in-batch older capture swallowed
+      input.addData(cap("u1", 3000L, "u1v3"), cap("u1", 1000L, "u1v1"),
+        cap("u2", 1000L, "u2v1"))
+      q.processAllAvailable()
+      // batch 2: newer u1 emits; stale + duplicate captures swallowed across batches
+      input.addData(cap("u1", 5000L, "u1v5"), cap("u1", 2000L, "u1v2"),
+        cap("u2", 1000L, "u2v1"))
+      q.processAllAvailable()
+      val emitted = spark.table("latest_caps").as[Page].collect()
+      assert(emitted.map(p => (p.url, p.text)).toSet ==
+        Set(("u1", "u1v3"), ("u2", "u2v1"), ("u1", "u1v5")),
+        "monotone improvement log per url")
+      // compaction of the emitted log == batch latestSnapshot over ALL captures
+      val all = Seq(cap("u1", 3000L, "u1v3"), cap("u1", 1000L, "u1v1"),
+        cap("u2", 1000L, "u2v1"), cap("u1", 5000L, "u1v5"), cap("u1", 2000L, "u1v2"))
+        .toDF().select(col("url"), col("warc_ts"), col("text"))
+      val compacted = graft.kg.Temporal.latestSnapshot(
+        emitted.toSeq.toDF().select(col("url"), col("warc_ts"), col("text")),
+        "url", "warc_ts").collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      val batch = graft.kg.Temporal.latestSnapshot(all, "url", "warc_ts")
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(compacted == batch && batch == Map("u1" -> "u1v5", "u2" -> "u2v1"))
     } finally q.stop()
   }
 

@@ -209,11 +209,16 @@ object StreamExtract {
    * exactly the newest capture per url; out-of-order and duplicate captures are
    * swallowed here.
    *
-   * State per url is ONE timestamp, and (same contract as [[dedupedTriples]]) it
-   * EXPIRES via an event-time timeout `stateTtlMs` past the url's newest capture —
-   * without it, state grows with distinct-url cardinality forever on an unbounded
-   * crawl. After expiry a later stale capture can re-emit; the batch compaction
-   * removes it at rest. Pass None for the unbounded-state exact mode.
+   * State per url is ONE (timestamp, tie-break hash) pair, and (same contract as
+   * [[dedupedTriples]]) it EXPIRES via an event-time timeout `stateTtlMs` past the
+   * url's newest capture — without it, state grows with distinct-url cardinality
+   * forever on an unbounded crawl. After expiry a later stale capture can re-emit;
+   * the batch compaction removes it at rest. Pass None for the unbounded-state exact
+   * mode.
+   *
+   * Equal-timestamp captures are ordered by the SAME xxhash64-over-the-full-row
+   * tie-break the batch operator uses, so the winner is deterministic at any
+   * parallelism and the compaction invariant holds even on timestamp ties.
    */
   def latestCaptures(pages: Dataset[Page],
       stateTtlMs: Option[Long] = Some(30L * 24 * 3600 * 1000))(
@@ -222,24 +227,30 @@ object StreamExtract {
     val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
                   else GroupStateTimeout.NoTimeout()
     val streaming = pages.isStreaming
+    val rowCols = pages.columns.toSeq.map(col)
+    val flat = pages.select(col("url"), col("warc_ts"), col("html"), col("text"),
+      col("lang"), xxhash64(rowCols: _*).as("tb"))
     val src = stateTtlMs match {
-      case Some(ms) if streaming => pages.withWatermark("warc_ts", s"$ms milliseconds")
-      case _ => pages
+      case Some(ms) if streaming => flat.withWatermark("warc_ts", s"$ms milliseconds")
+      case _ => flat
     }
-    src.groupByKey(_.url)
-      .flatMapGroupsWithState[Long, Page](OutputMode.Append(), timeout) {
-        case (_, _, state: GroupState[Long]) if state.hasTimedOut =>
+    val ord = Ordering.Tuple2[Long, Long]
+    src.as[(String, java.sql.Timestamp, Array[Byte], String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), Page](OutputMode.Append(), timeout) {
+        case (_, _, state: GroupState[(Long, Long)]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
-        case (_, rows, state: GroupState[Long]) =>
+        case (_, rows, state: GroupState[(Long, Long)]) =>
           val batch = rows.toVector
-          val bestSeen = state.getOption.getOrElse(Long.MinValue)
-          val newest = batch.maxBy(_.warc_ts.getTime)
+          val best = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+          val newest = batch.maxBy(c => (c._2.getTime, c._6))(ord)
+          val newKey = (newest._2.getTime, newest._6)
           def renew(): Unit = for (ms <- stateTtlMs if streaming)
-            state.setTimeoutTimestamp(math.max(bestSeen, newest.warc_ts.getTime) + ms)
-          if (newest.warc_ts.getTime > bestSeen) {
-            state.update(newest.warc_ts.getTime)
+            state.setTimeoutTimestamp(math.max(best._1, newKey._1) + ms)
+          if (ord.gt(newKey, best)) {
+            state.update(newKey)
             renew()
-            Iterator.single(newest)
+            Iterator.single(Page(newest._1, newest._2, newest._3, newest._4, newest._5))
           } else {
             renew()
             Iterator.empty

@@ -150,6 +150,33 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("latest-capture timestamp ties break like the batch operator (xxhash64)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def cap(url: String, ts: Long, text: String): Page =
+      Page(url, new java.sql.Timestamp(ts), Array.emptyByteArray, text, "en")
+    // two captures of u1 share warc_ts but differ in content — one in the same
+    // micro-batch, one across batches; the surviving capture must be the one the
+    // batch latestSnapshot elects (max xxhash64 on the tie), not arrival order
+    val input = MemoryStream[Page]
+    val out = StreamExtract.latestCaptures(input.toDS(), stateTtlMs = None)
+    val q = out.writeStream.format("memory").queryName("latest_tie")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(cap("u1", 1000L, "vA"), cap("u1", 1000L, "vB"), cap("u1", 1000L, "vC"))
+    try {
+      input.addData(all(0), all(1))
+      q.processAllAvailable()
+      input.addData(all(2))
+      q.processAllAvailable()
+      val compacted = graft.kg.Temporal.latestSnapshot(
+        spark.table("latest_tie"), "url", "warc_ts")
+        .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+      val batch = graft.kg.Temporal.latestSnapshot(all.toDF(), "url", "warc_ts")
+        .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+      assert(compacted == batch, s"tie winner diverged: stream=$compacted batch=$batch")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregates by event time and closes windows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -1541,7 +1541,7 @@ object SparkEntry {
           SELECT COALESCE(p.url, c.url) AS url,
                  CASE WHEN p.url IS NULL THEN 'added'
                       WHEN c.url IS NULL THEN 'removed'
-                      WHEN p.h <> c.h THEN 'changed'
+                      WHEN p.h IS DISTINCT FROM c.h THEN 'changed'
                       ELSE 'unchanged' END AS change
           FROM p FULL OUTER JOIN c ON p.url = c.url""",
 
@@ -1550,7 +1550,7 @@ object SparkEntry {
           diff AS (SELECT COALESCE(p.url, c.url) AS url,
                           CASE WHEN p.url IS NULL THEN 'added'
                                WHEN c.url IS NULL THEN 'removed'
-                               WHEN p.h <> c.h THEN 'changed'
+                               WHEN p.h IS DISTINCT FROM c.h THEN 'changed'
                                ELSE 'unchanged' END AS change
                    FROM p FULL OUTER JOIN c ON p.url = c.url),
           store AS (SELECT url AS subj, 'content_hash' AS pred, h AS obj, url FROM p),

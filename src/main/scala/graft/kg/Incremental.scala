@@ -39,13 +39,18 @@ object Incremental {
    */
   def snapshotDiff(prev: DataFrame, curr: DataFrame,
       urlCol: String = "url", hashCol: String = "content_hash"): DataFrame = {
-    val p = prev.select(col(urlCol).as("url"), col(hashCol).as("h_prev"))
-    val c = curr.select(col(urlCol).as("url"), col(hashCol).as("h_curr"))
+    // presence is tracked by explicit flags, not hash nullability — a url whose
+    // content hash is legitimately NULL in both snapshots is unchanged, not
+    // added+removed; hash comparison is null-safe for the same reason
+    val p = prev.select(col(urlCol).as("url"), col(hashCol).as("h_prev"),
+      lit(true).as("in_prev"))
+    val c = curr.select(col(urlCol).as("url"), col(hashCol).as("h_curr"),
+      lit(true).as("in_curr"))
     p.join(c, Seq("url"), "full_outer")
       .select(col("url"),
-        when(col("h_prev").isNull, lit("added"))
-          .when(col("h_curr").isNull, lit("removed"))
-          .when(col("h_prev") =!= col("h_curr"), lit("changed"))
+        when(col("in_prev").isNull, lit("added"))
+          .when(col("in_curr").isNull, lit("removed"))
+          .when(!(col("h_prev") <=> col("h_curr")), lit("changed"))
           .otherwise(lit("unchanged")).as("change"))
   }
 
@@ -67,7 +72,7 @@ object Incremental {
    */
   def mergeTriples(store: DataFrame, delta: DataFrame, dirty: DataFrame,
       urlCol: String = "url"): DataFrame =
-    store.join(dirty.select(col("url").as(urlCol)), Seq(urlCol), "left_anti")
+    store.join(dirty.toDF(urlCol), Seq(urlCol), "left_anti")
       .select(store.columns.map(col): _*) // the using-column join moves the key first
       .unionByName(delta)
 }

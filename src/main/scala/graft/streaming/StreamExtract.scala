@@ -209,16 +209,19 @@ object StreamExtract {
    * exactly the newest capture per url; out-of-order and duplicate captures are
    * swallowed here.
    *
-   * State per url is ONE (timestamp, tie-break hash) pair, and (same contract as
+   * State per url is ONE (timestamp-micros, tie-break hash) pair, and (same contract as
    * [[dedupedTriples]]) it EXPIRES via an event-time timeout `stateTtlMs` past the
    * url's newest capture — without it, state grows with distinct-url cardinality
    * forever on an unbounded crawl. After expiry a later stale capture can re-emit;
    * the batch compaction removes it at rest. Pass None for the unbounded-state exact
    * mode.
    *
-   * Equal-timestamp captures are ordered by the SAME xxhash64-over-the-full-row
-   * tie-break the batch operator uses, so the winner is deterministic at any
-   * parallelism and the compaction invariant holds even on timestamp ties.
+   * Captures are compared at MICROSECOND precision (TimestampType's resolution,
+   * matching the batch operator's struct comparison — ms-truncated getTime would
+   * swallow a sub-millisecond-newer capture as a tie) and equal-timestamp captures
+   * are ordered by the SAME xxhash64-over-the-full-row tie-break the batch operator
+   * uses, so the winner is deterministic at any parallelism and the compaction
+   * invariant holds even on timestamp ties.
    */
   def latestCaptures(pages: Dataset[Page],
       stateTtlMs: Option[Long] = Some(30L * 24 * 3600 * 1000))(
@@ -235,18 +238,21 @@ object StreamExtract {
       case _ => flat
     }
     val ord = Ordering.Tuple2[Long, Long]
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     src.as[(String, java.sql.Timestamp, Array[Byte], String, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), Page](OutputMode.Append(), timeout) {
         case (_, _, state: GroupState[(Long, Long)]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case (_, rows, state: GroupState[(Long, Long)]) =>
-          val batch = rows.toVector
           val best = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
-          val newest = batch.maxBy(c => (c._2.getTime, c._6))(ord)
-          val newKey = (newest._2.getTime, newest._6)
+          // single pass over the iterator — a hot url's captures are never
+          // buffered (each row carries the full html payload)
+          val newest = rows.maxBy(c => (micros(c._2), c._6))(ord)
+          val newKey = (micros(newest._2), newest._6)
           def renew(): Unit = for (ms <- stateTtlMs if streaming)
-            state.setTimeoutTimestamp(math.max(best._1, newKey._1) + ms)
+            state.setTimeoutTimestamp(math.max(best._1, newKey._1) / 1000L + ms)
           if (ord.gt(newKey, best)) {
             state.update(newKey)
             renew()

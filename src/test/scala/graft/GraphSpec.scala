@@ -77,6 +77,30 @@ class GraphSpec extends AnyFunSuite with SparkTest {
       "u3" -> "removed", "u4" -> "added"))
   }
 
+  test("snapshotDiff: presence is by url, not hash nullability; NULL hashes compare null-safe") {
+    import spark.implicits._
+    // u1: NULL hash in both snapshots (e.g. md5 of NULL text) — present both sides,
+    // identical content → unchanged, NOT added/removed; u2: NULL → value is a change
+    val prev = Seq(("u1", None: Option[String]), ("u2", None: Option[String]))
+      .toDF("url", "content_hash")
+    val curr = Seq(("u1", None: Option[String]), ("u2", Some("h2")))
+      .toDF("url", "content_hash")
+    val out = graft.kg.Incremental.snapshotDiff(prev, curr)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("u1" -> "unchanged", "u2" -> "changed"))
+  }
+
+  test("mergeTriples honors a non-default urlCol for all three frames") {
+    import spark.implicits._
+    val store = Seq(("s1", "p", "o", "u1"), ("s2", "p", "o", "u2"))
+      .toDF("subj", "pred", "obj", "evidence_url")
+    val delta = Seq(("s2b", "p", "o2", "u2")).toDF("subj", "pred", "obj", "evidence_url")
+    val dirty = Seq("u2").toDF("evidence_url")
+    val merged = graft.kg.Incremental.mergeTriples(store, delta, dirty, "evidence_url")
+      .collect().map(r => (r.getString(0), r.getString(3))).toSet
+    assert(merged == Set(("s1", "u1"), ("s2b", "u2")))
+  }
+
   test("incremental merge over the re-extracted slice equals a full rebuild") {
     import spark.implicits._
     // store triples carry their evidence url; two triples per url to show the purge

@@ -612,6 +612,11 @@ object SparkEntry {
       graft.kg.Temporal.factHistory(triples, "subj", "pred", "obj", "v")
     }),
 
+    // ---- corpus quality: unigram LM surprisal (integer-exact perplexity filter) ----
+    "q59_surprisal" -> ((s, d) =>
+      TextAnalysis.surprisal(t(s, d, "documents"), "doc_id", "text", topV = 2000)
+        .orderBy("doc_id")),
+
     // ---- incremental maintenance: snapshot diff (added/changed/removed/unchanged) --
     // Two synthetic snapshots derived deterministically from documents: prev drops
     // doc_id%5==0 (→ added), curr edits doc_id%7==0 (→ changed) and drops
@@ -1535,6 +1540,32 @@ object SparkEntry {
           SELECT subj, pred, obj, min(v) AS first_seen, max(v) AS last_seen,
                  count(*) AS n_observations
           FROM tr GROUP BY subj, pred, obj""",
+
+    // Twin of TextAnalysis.surprisal: top-2000 add-one unigram model, per-token
+    // surprisal = bit-length of the integer quotient (T+V+1) div (cnt+1), minus 1 —
+    // floor-log2 of the inverse probability in pure integer arithmetic.
+    "q59_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksLowerSql) AS token FROM documents),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          tv AS (SELECT CAST(sum(cnt) AS BIGINT) + LEAST(count(*), 2000) + 1 AS d
+                 FROM counts),
+          model AS (SELECT token, cnt FROM counts
+                    ORDER BY cnt DESC, token ASC LIMIT 2000),
+          scored AS (SELECT tk.doc_id, count(*) AS n_tokens,
+                            CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_oov,
+                            CAST(sum(length(bin(CAST((SELECT d FROM tv)
+                                   // (COALESCE(m.cnt, 0) + 1) AS BIGINT))) - 1)
+                                 AS BIGINT) AS s
+                     FROM toks tk LEFT JOIN model m USING (token)
+                     GROUP BY tk.doc_id)
+          SELECT d0.doc_id,
+                 COALESCE(s.n_tokens, 0) AS n_tokens,
+                 COALESCE(s.n_oov, 0) AS n_oov,
+                 COALESCE(CAST(FLOOR(s.s * 100 / s.n_tokens) AS BIGINT), 0)
+                   AS mean_surp_cb
+          FROM documents d0 LEFT JOIN scored s USING (doc_id)
+          ORDER BY d0.doc_id""",
 
     "q55_snapshot_diff" ->
       s"""WITH $snapshotsSql

@@ -214,6 +214,71 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram language-model surprisal — the integer-exact analog of the CCNet/Gopher
+   * perplexity quality filter: documents whose tokens are improbable under a
+   * reference unigram model (gibberish, non-language bytes, keyword stuffing) score
+   * high and get dropped; flat boilerplate scores low.
+   *
+   * The model is the `topV` head of the reference corpus vocabulary with add-one
+   * smoothing: p(tok) = (cnt+1)/(T+V+1), OOV = 1/(T+V+1), where T = total reference
+   * tokens and V = kept vocabulary size (the cap is the model's own contract — an
+   * explicit size knob, not a silent truncation). Per-token surprisal is the
+   * LOG2-BUCKETED inverse probability computed entirely in integer arithmetic:
+   *
+   *   surp(tok) = floor(log2((T+V+1)/(cnt+1))) = length(bin((T+V+1) div (cnt+1))) - 1
+   *
+   * (for ints a >= b >= 1, 2^k <= a/b < 2^(k+1) iff 2^k <= a div b < 2^(k+1), so the
+   * bit-length of the integer quotient IS the floor-log2 of the rational — no
+   * floating-point log anywhere, bit-identical across engines and parallelism).
+   *
+   * Returns one row per document: n_tokens, n_oov, and mean_surp_cb = mean token
+   * surprisal in centibits (floor — integer, exact). Docs with no tokens score 0.
+   *
+   * Scale shape: the model is ONE token-keyed aggregation (map-side partials absorb
+   * Zipf skew) + a TakeOrderedAndProject head; T and V are two driver scalars.
+   * Scoring is explode → broadcast join against the <= topV-row model → one
+   * doc-keyed aggregation. At 100 TB the model comes from a sampled reference slice
+   * and the corpus side stays a narrow scan + broadcast lookup.
+   */
+  def surprisalModel(ref: DataFrame, textCol: String = "text",
+      topV: Int = 50000): (DataFrame, Long, Long) = {
+    val counts = ref
+      .select(explode(wsTokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt"), count(lit(1))).head()
+    val t = Option(totals.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val model = counts.orderBy(desc("cnt"), asc("token")).limit(topV)
+    (model, t, math.min(totals.getLong(1), topV.toLong))
+  }
+
+  def surprisalScore(df: DataFrame, model: DataFrame, totalTokens: Long,
+      vocabSize: Long, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val denom = totalTokens + vocabSize + 1L
+    val surp = length(bin(expr(s"$denom DIV (coalesce(cnt, 0L) + 1L)"))) - 1L
+    val scored = df
+      .select(col(idCol).as("doc_id"), explode(wsTokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(surp).as("__s"))
+      .withColumn("mean_surp_cb", floor(col("__s") * 100L / col("n_tokens")))
+      .drop("__s")
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("mean_surp_cb"), lit(0L)).as("mean_surp_cb"))
+  }
+
+  /** [[surprisalModel]] + [[surprisalScore]] with the corpus as its own reference —
+    * the self-scored form the q59 oracle checks. */
+  def surprisal(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      topV: Int = 2000): DataFrame = {
+    val (model, t, v) = surprisalModel(df, textCol, topV)
+    surprisalScore(df, model, t, v, idCol, textCol)
+  }
+
+  /**
    * Document fingerprint: md5 of the casefolded, whitespace-collapsed text — the
    * canonical-form hash used for exact near-canonical dedup. Plus a 64-bit rolling
    * hash (xxhash64) for cheap clustering keys.

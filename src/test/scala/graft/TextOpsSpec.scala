@@ -27,6 +27,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(!out.contains(4L))
   }
 
+  test("surprisal: integer log2-bucketed unigram cross-entropy, OOV and empty docs") {
+    import spark.implicits._
+    // corpus: "a" x6, "b" x2, "c" x1, "d" x1 => T=10; topV=3 keeps a,b,c (count desc,
+    // token asc) => V=3, denom=14; d is OOV.
+    // surp = bitlen(14 div (cnt+1)) - 1: a: 14/7=2 -> 1; b: 14/3=4 -> 2;
+    // c: 14/2=7 -> 2; d (oov): 14/1=14 -> 3
+    val docs = Seq(
+      (1L, "a a a a a a"),     // 6 tokens surp 1 -> mean 100
+      (2L, "b b c"),           // 2+2+2=6 over 3 -> 200
+      (3L, "d"),               // oov -> 300
+      (4L, " ")                // no tokens -> zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.surprisal(docs, "doc_id", "text", topV = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((6L, 0L, 100L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 200L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((1L, 1L, 300L)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L)), s"empty doc: ${out(4L)}")
+    // rarer tokens => strictly higher score: gibberish beats plain text
+    val (model, t, v) = TextAnalysis.surprisalModel(docs, "text", topV = 3)
+    val scored = TextAnalysis.surprisalScore(
+        Seq((10L, "a a a"), (11L, "zq xv qy")).toDF("doc_id", "text"),
+        model, t, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored(11L) > scored(10L), s"gibberish must out-score common text: $scored")
+  }
+
   test("canonicalize urls: each rule collapses its crawl variant") {
     import spark.implicits._
     val cases = Seq(

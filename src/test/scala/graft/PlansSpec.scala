@@ -154,4 +154,13 @@ class PlansSpec extends AnyFunSuite with SparkTest {
       s"vocabulary topN lost the TakeOrderedAndProject shape:\n$p")
     assert(!p.contains("Window"), s"vocabulary grew a window:\n$p")
   }
+
+  test("q59: surprisal scoring joins the model broadcast; the corpus side never " +
+      "shuffles to meet it") {
+    val p = formatted("q59_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"surprisal model join de-broadcast — corpus-side token shuffle at scale:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"surprisal scoring grew a sort-merge join:\n$p")
+    assert(!p.contains("Window"), s"surprisal grew a window:\n$p")
+  }
 }

@@ -617,6 +617,17 @@ object SparkEntry {
       TextAnalysis.surprisal(t(s, d, "documents"), "doc_id", "text", topV = 2000)
         .orderBy("doc_id")),
 
+    // ---- serving: W3C N-Triples export of a derived triple slice ----
+    // subj carries a space (%20 path), pred carries angle brackets, obj is a raw text
+    // excerpt (real newline/quote/tab escapes) — every rewrite rule is exercised.
+    "q60_ntriples" -> ((s, d) => {
+      val tr = t(s, d, "documents").select(
+        concat(lit("doc "), col("doc_id")).as("subj"),
+        lit("excerpt<v1>").as("pred"),
+        substring(col("text"), 1, 50).as("obj"))
+      graft.kg.Graph.toNTriples(tr, "subj", "pred", "obj")
+    }),
+
     // ---- incremental maintenance: snapshot diff (added/changed/removed/unchanged) --
     // Two synthetic snapshots derived deterministically from documents: prev drops
     // doc_id%5==0 (→ added), curr edits doc_id%7==0 (→ changed) and drops
@@ -1566,6 +1577,25 @@ object SparkEntry {
                    AS mean_surp_cb
           FROM documents d0 LEFT JOIN scored s USING (doc_id)
           ORDER BY d0.doc_id""",
+
+    // Twin of Graph.toNTriples: same percent-encode chain (% first — injective) for
+    // IRI segments, same N-Triples literal escapes (backslash first). DuckDB quoted
+    // literals are backslash-literal, so '\n' below IS the two-char escape sequence.
+    "q60_ntriples" ->
+      """SELECT '<https://kg.example/entity/'
+              || replace(replace(replace(replace(replace(replace(
+                   'doc ' || CAST(doc_id AS VARCHAR),
+                   '%','%25'),' ','%20'),'"','%22'),'<','%3C'),'>','%3E'),'\','%5C')
+              || '> <https://kg.example/pred/'
+              || replace(replace(replace(replace(replace(replace(
+                   'excerpt<v1>',
+                   '%','%25'),' ','%20'),'"','%22'),'<','%3C'),'>','%3E'),'\','%5C')
+              || '> "'
+              || replace(replace(replace(replace(replace(
+                   substring(text, 1, 50),
+                   '\','\\'),'"','\"'),chr(10),'\n'),chr(13),'\r'),chr(9),'\t')
+              || '" .' AS ntriple
+         FROM documents""",
 
     "q55_snapshot_diff" ->
       s"""WITH $snapshotsSql

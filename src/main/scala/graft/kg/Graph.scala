@@ -93,4 +93,34 @@ object Graph {
         array_join(array_sort(collect_list(
           concat(col(predCol), lit("="), col(objCol)))), "; ").as("card"))
   }
+
+  /**
+   * W3C N-Triples serialization of the triple store — the standard line-oriented KG
+   * interchange format (one `<subj-iri> <pred-iri> "object-literal" .` line per
+   * triple), so the materialized graph loads into any RDF store or SPARQL engine
+   * without a custom reader.
+   *
+   * IRI path segments percent-encode the characters N-Triples forbids inside `<...>`
+   * (space, quote, angle brackets, backslash, `%` itself — encoded FIRST so the
+   * encoding is injective); object literals escape per the N-Triples string grammar
+   * (backslash, quote, newline, CR, tab). All rewrites are chained builtin
+   * `replace`/`regexp_replace` columns — codegen'd, zero-shuffle, a narrow map over
+   * the store at any scale.
+   */
+  def toNTriples(triples: DataFrame, subjCol: String, predCol: String,
+      objCol: String, base: String = "https://kg.example/"): DataFrame = {
+    def iri(c: org.apache.spark.sql.Column) =
+      Seq("%" -> "%25", " " -> "%20", "\"" -> "%22", "<" -> "%3C", ">" -> "%3E",
+        "\\" -> "%5C").foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+    def lit3(c: org.apache.spark.sql.Column) =
+      Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r",
+        "\t" -> "\\t").foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+    triples.select(concat(
+      lit(s"<${base}entity/"), iri(col(subjCol)), lit(s"> <${base}pred/"),
+      iri(col(predCol)), lit("> \""), lit3(col(objCol)), lit("\" .")).as("ntriple"))
+  }
 }

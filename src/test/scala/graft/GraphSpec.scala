@@ -67,6 +67,21 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(out("hub") == ((3L, "born_in=x; mentions=a; mentions=b")))
   }
 
+  test("toNTriples: IRI percent-encoding is injective, literals escape the grammar") {
+    import spark.implicits._
+    val tr = Seq(
+      ("a b", "p<1>", "says \"hi\"\nline2\tend\\"),
+      ("a%20b", "p<1>", "plain")).toDF("subj", "pred", "obj")
+    val out = graft.kg.Graph.toNTriples(tr, "subj", "pred", "obj")
+      .collect().map(_.getString(0)).sorted
+    assert(out(0) ==
+      "<https://kg.example/entity/a%20b> <https://kg.example/pred/p%3C1%3E> " +
+        "\"says \\\"hi\\\"\\nline2\\tend\\\\\" .", s"escaping wrong: ${out(0)}")
+    // '%' encodes first, so a subject already containing %20 stays distinct from
+    // one containing a space — the encoding never collides two different subjects
+    assert(out(1).startsWith("<https://kg.example/entity/a%2520b> "), out(1))
+  }
+
   test("snapshotDiff classifies added/changed/removed/unchanged by content identity") {
     import spark.implicits._
     val prev = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("url", "content_hash")

@@ -79,7 +79,16 @@ object PlanDump {
     "q49_domain_quota" ->
       """Per-domain quota: one shuffle on the domain key, WindowGroupLimit prunes each
         |group to k rows before the full sort — a mega-domain never materializes more
-        |than k winners per task.""")
+        |than k winners per task.""",
+    "q59_surprisal" ->
+      """Unigram surprisal scoring: the (≤ topV rows) model joins BROADCAST against the
+        |corpus-side token explode — the corpus never shuffles to meet the model; the
+        |only corpus Exchanges are the doc-keyed aggregate and the model's own
+        |token-keyed aggregate (map-side partials absorb Zipf skew).""",
+    "q60_ntriples" ->
+      """N-Triples export: ONE WholeStageCodegen span over the scan — the whole escape
+        |chain is codegen'd replace columns, ZERO Exchange in the plan (the export
+        |rides the store scan at full speed).""")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -618,11 +618,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- serving: W3C N-Triples export of a derived triple slice ----
-    // subj carries a space (%20 path), pred carries angle brackets, obj is a raw text
-    // excerpt (real newline/quote/tab escapes) — every rewrite rule is exercised.
+    // subj carries a space, braces, a REAL newline, pipe/caret/backtick (the full
+    // IRIREF-forbidden set), pred carries angle brackets, obj is a raw text excerpt
+    // (real newline/quote/tab escapes) — every rewrite rule is exercised, and the
+    // embedded newline proves the output stays one physical line per triple.
     "q60_ntriples" -> ((s, d) => {
       val tr = t(s, d, "documents").select(
-        concat(lit("doc "), col("doc_id")).as("subj"),
+        concat(lit("doc {"), col("doc_id"), lit("}\n|^`")).as("subj"),
         lit("excerpt<v1>").as("pred"),
         substring(col("text"), 1, 50).as("obj"))
       graft.kg.Graph.toNTriples(tr, "subj", "pred", "obj")
@@ -674,6 +676,18 @@ object SparkEntry {
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)"
   private val toksLowerSql =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB twin of [[graft.kg.Graph.iriEscapes]]: the same injective percent-encode
+    * rule chain rendered as nested `replace()` calls, generated from the ONE rule
+    * list so engine and oracle can never drift. Control chars render as `chr(i)`
+    * (sub-0x21 bytes don't survive SQL source text), printables as quoted literals. */
+  private def iriEscSql(inner: String): String =
+    graft.kg.Graph.iriEscapes.foldLeft(inner) { case (acc, (from, to)) =>
+      val f =
+        if (from.head.toInt <= 0x20 || from == "`") s"chr(${from.head.toInt})"
+        else s"'$from'"
+      s"replace($acc, $f, '$to')"
+    }
 
   /** SQL twin of [[snapshots]] — keep in sync. */
   private val snapshotsSql =
@@ -1512,7 +1526,7 @@ object SparkEntry {
       s"""WITH tr AS ($kgTriplesSql)
           SELECT pred, count(*) AS n_triples,
                  count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj,
-                 CAST(floor(10000 * count(*) / count(DISTINCT subj)) AS BIGINT)
+                 CAST(10000 * count(*) // count(DISTINCT subj) AS BIGINT)
                    AS fanout_bp
           FROM tr GROUP BY pred""",
 
@@ -1578,18 +1592,16 @@ object SparkEntry {
           FROM documents d0 LEFT JOIN scored s USING (doc_id)
           ORDER BY d0.doc_id""",
 
-    // Twin of Graph.toNTriples: same percent-encode chain (% first — injective) for
-    // IRI segments, same N-Triples literal escapes (backslash first). DuckDB quoted
-    // literals are backslash-literal, so '\n' below IS the two-char escape sequence.
+    // Twin of Graph.toNTriples: the SAME percent-encode chain (generated from
+    // Graph.iriEscapes — % first so the encoding is injective, then chr(0)–chr(32),
+    // then the printable IRIREF-forbidden set) and the same N-Triples literal escapes
+    // (backslash first). DuckDB quoted literals are backslash-literal, so '\n' below
+    // IS the two-char escape sequence.
     "q60_ntriples" ->
-      """SELECT '<https://kg.example/entity/'
-              || replace(replace(replace(replace(replace(replace(
-                   'doc ' || CAST(doc_id AS VARCHAR),
-                   '%','%25'),' ','%20'),'"','%22'),'<','%3C'),'>','%3E'),'\','%5C')
+      s"""SELECT '<https://kg.example/entity/'
+              || ${iriEscSql("'doc {' || CAST(doc_id AS VARCHAR) || '}' || chr(10) || '|^' || chr(96)")}
               || '> <https://kg.example/pred/'
-              || replace(replace(replace(replace(replace(replace(
-                   'excerpt<v1>',
-                   '%','%25'),' ','%20'),'"','%22'),'<','%3C'),'>','%3E'),'\','%5C')
+              || ${iriEscSql("'excerpt<v1>'")}
               || '> "'
               || replace(replace(replace(replace(replace(
                    substring(text, 1, 50),

@@ -107,20 +107,20 @@ object CuratePipeline {
     * token-count projection (no `cum_toks` column) — the common "no quota" config
     * must not pay two corpus-wide shuffles that filter nothing. */
   def mix(docs: DataFrame, cfg: Config): DataFrame = {
-    val sampled = Curation.stratifiedSample(docs, "doc_id", "lang",
+    // ONE post-redaction token count, computed up front and consumed by BOTH mixing
+    // stages (quota ranking and budget packing) and carried as the output audit
+    // column — the two stages must never prioritize documents by different token
+    // definitions, and the meaning of n_toks must not depend on which knobs are on.
+    val withToks = docs.withColumn("n_toks",
+      size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+    val sampled = Curation.stratifiedSample(withToks, "doc_id", "lang",
       cfg.sampleRatesBp, cfg.sampleDefaultBp)
     val capped =
       if (cfg.quotaK == Int.MaxValue) sampled
       else Curation.domainQuota(sampled, "doc_id", "source", "n_toks", cfg.quotaK)
-    if (cfg.budgets.isEmpty && cfg.defaultBudget == Long.MaxValue / 4)
-      // budget disabled — still refresh n_toks to the POST-redaction count the
-      // budget stage would otherwise produce (downstream audits sum it)
-      capped.withColumn("n_toks",
-        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
-    else
-      Curation.tokenBudgetMix(capped.withColumnRenamed("n_toks", "n_toks_pre"),
-          "doc_id", "lang", "text", cfg.budgets, cfg.defaultBudget)
-        .drop("n_toks_pre")
+    if (cfg.budgets.isEmpty && cfg.defaultBudget == Long.MaxValue / 4) capped
+    else Curation.tokenBudgetMix(capped, "doc_id", "lang", "text",
+      cfg.budgets, cfg.defaultBudget)
   }
 
   /** The whole pipeline, un-checkpointed (test/composition surface). */

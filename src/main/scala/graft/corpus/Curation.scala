@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.text.TextAnalysis
+
 /**
  * Corpus-curation operators a web-scale training-data pipeline runs between dedup and
  * materialization: cross-document boilerplate-line removal, deterministic stratified
@@ -115,8 +117,13 @@ object Curation {
       }
     val w = Window.partitionBy(strataCol).orderBy(desc("n_toks"), asc(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_toks",
-        size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).cast("long"))
+    // An existing n_toks column is trusted (the pipeline computes ONE post-redaction
+    // count that quota and budget must share); otherwise derive it from the single
+    // canonical tokenizer definition — never a re-spelled copy of that expression.
+    val withToks =
+      if (df.columns.contains("n_toks")) df
+      else df.withColumn("n_toks", size(TextAnalysis.wsTokens(col(textCol))).cast("long"))
+    withToks
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .filter(col("cum_toks") <= budget)
   }

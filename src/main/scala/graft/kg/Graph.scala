@@ -71,8 +71,7 @@ object Graph {
       .agg(count(lit(1)).as("n_triples"),
         count_distinct(col(subjCol)).as("n_subj"),
         count_distinct(col(objCol)).as("n_obj"))
-      .withColumn("fanout_bp", floor(lit(10000L) * col("n_triples") / col("n_subj"))
-        .cast("long"))
+      .withColumn("fanout_bp", expr("10000L * n_triples DIV n_subj"))
 
   /**
    * Packed entity cards: per subject, the `k` first facts in deterministic
@@ -100,18 +99,26 @@ object Graph {
    * triple), so the materialized graph loads into any RDF store or SPARQL engine
    * without a custom reader.
    *
-   * IRI path segments percent-encode the characters N-Triples forbids inside `<...>`
-   * (space, quote, angle brackets, backslash, `%` itself — encoded FIRST so the
-   * encoding is injective); object literals escape per the N-Triples string grammar
+   * IRI path segments percent-encode every character the IRIREF production forbids
+   * inside `<...>` — all of `\x00`–`\x20` (controls + space, so a subject with an
+   * embedded newline can never split a record across physical lines), quote, angle
+   * brackets, backslash, and `{ } | ^ `` ` `` — with `%` itself encoded FIRST so the
+   * encoding is injective; object literals escape per the N-Triples string grammar
    * (backslash, quote, newline, CR, tab). All rewrites are chained builtin
    * `replace`/`regexp_replace` columns — codegen'd, zero-shuffle, a narrow map over
    * the store at any scale.
    */
+  /** The injective IRI percent-encode rule chain, in application order (% first). */
+  private[graft] val iriEscapes: Seq[(String, String)] =
+    Seq("%" -> "%25") ++
+      (0x00 to 0x20).map(i => i.toChar.toString -> f"%%$i%02X") ++
+      Seq("\"" -> "%22", "<" -> "%3C", ">" -> "%3E", "\\" -> "%5C",
+        "{" -> "%7B", "}" -> "%7D", "|" -> "%7C", "^" -> "%5E", "`" -> "%60")
+
   def toNTriples(triples: DataFrame, subjCol: String, predCol: String,
       objCol: String, base: String = "https://kg.example/"): DataFrame = {
     def iri(c: org.apache.spark.sql.Column) =
-      Seq("%" -> "%25", " " -> "%20", "\"" -> "%22", "<" -> "%3C", ">" -> "%3E",
-        "\\" -> "%5C").foldLeft(c) { case (acc, (from, to)) =>
+      iriEscapes.foldLeft(c) { case (acc, (from, to)) =>
         replace(acc, lit(from), lit(to))
       }
     def lit3(c: org.apache.spark.sql.Column) =

@@ -251,8 +251,20 @@ object StreamExtract {
           // buffered (each row carries the full html payload)
           val newest = rows.maxBy(c => (micros(c._2), c._6))(ord)
           val newKey = (micros(newest._2), newest._6)
+          // Clamped to strictly after the current watermark: a capture whose event
+          // time is far behind the global max would otherwise compute a timeout
+          // at-or-before the watermark — an IllegalArgumentException that kills the
+          // query. Spark's FlatMapGroupsWithStateExec already filters late rows
+          // before the state function when a watermark is set (pinned by
+          // StreamingSpec's very-late-capture test), so this is defense-in-depth
+          // for the residual path (e.g. a stale `best` from state, or the late
+          // filter changing across Spark versions); a clamped group's state is
+          // simply eligible to expire at the next trigger — the correct TTL
+          // semantics for data already older than the horizon.
           def renew(): Unit = for (ms <- stateTtlMs if streaming)
-            state.setTimeoutTimestamp(math.max(best._1, newKey._1) / 1000L + ms)
+            state.setTimeoutTimestamp(math.max(
+              math.max(best._1, newKey._1) / 1000L + ms,
+              state.getCurrentWatermarkMs() + 1))
           if (ord.gt(newKey, best)) {
             state.update(newKey)
             renew()

@@ -82,6 +82,19 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(out(1).startsWith("<https://kg.example/entity/a%2520b> "), out(1))
   }
 
+  test("toNTriples: IRIs encode ALL IRIREF-forbidden chars; one physical line/triple") {
+    import spark.implicits._
+    // controls (newline, CR, tab, NUL) and the printable forbidden set { } | ^ `
+    val tr = Seq(("a\nb\rc\td\u0000e", "p{1}|x^y`z", "ok")).toDF("subj", "pred", "obj")
+    val out = graft.kg.Graph.toNTriples(tr, "subj", "pred", "obj")
+      .collect().map(_.getString(0))
+    assert(out.length == 1)
+    assert(out(0).contains("entity/a%0Ab%0Dc%09d%00e>"), out(0))
+    assert(out(0).contains("pred/p%7B1%7D%7Cx%5Ey%60z>"), out(0))
+    // a subject/predicate control char must never split the record across lines
+    assert(!out(0).exists(c => c == '\n' || c == '\r' || c.toInt < 0x20), out(0))
+  }
+
   test("snapshotDiff classifies added/changed/removed/unchanged by content identity") {
     import spark.implicits._
     val prev = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("url", "content_hash")

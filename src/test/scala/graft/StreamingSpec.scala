@@ -177,6 +177,41 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("latest-capture with TTL survives very-late captures; late data is dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def cap(url: String, ts: Long, text: String): Page =
+      Page(url, new java.sql.Timestamp(ts), Array.emptyByteArray, text, "en")
+    val input = MemoryStream[Page]
+    // TTL = 1 s (doubles as the watermark delay). Batch 1 drives the watermark to
+    // ~99 s; batch 2's captures at event times 1 s / 50 s are behind it. Spark's
+    // FlatMapGroupsWithStateExec filters those late rows before the state function
+    // (they must neither emit nor create state), and the operator's timeout clamp
+    // guards the residual path where a row would compute a timeout at-or-before the
+    // watermark (which would throw and kill the query).
+    val out = StreamExtract.latestCaptures(input.toDS(), stateTtlMs = Some(1000L))
+    val q = out.writeStream.format("memory").queryName("latest_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(cap("u1", 100000L, "u1v1"))
+      q.processAllAvailable()
+      // very-late first capture of u2 AND a stale late capture of u1
+      input.addData(cap("u2", 1000L, "u2late"), cap("u1", 50000L, "u1stale"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val mid = spark.table("latest_ttl").as[Page].collect()
+        .map(p => (p.url, p.text)).toSet
+      assert(mid == Set(("u1", "u1v1")), s"late capture leaked or query stalled: $mid")
+      // a live (non-late) first capture of u2 still flows after the late one was cut
+      input.addData(cap("u2", 200000L, "u2v2"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val emitted = spark.table("latest_ttl").as[Page].collect()
+        .map(p => (p.url, p.text)).toSet
+      assert(emitted == Set(("u1", "u1v1"), ("u2", "u2v2")), emitted.toString)
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregates by event time and closes windows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

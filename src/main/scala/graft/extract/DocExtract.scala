@@ -167,9 +167,27 @@ object DocExtract {
         try detach(f(sents)) finally sents.unpersist(blocking = false)
     }
 
+  /** Default ceiling for [[detach]] — overridable per session via the
+    * `graft.detach.maxRows` conf (tests shrink it; a deliberate large consumer can
+    * raise it, which is an explicit opt-in, never a silent driver-OOM). */
+  private[graft] val DetachMaxRowsDefault: Long = 4L * 1000 * 1000
+
   private def detach(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    // Every withSentences consumer returns a BOUNDED result (pair stats, priors,
+    // score rollups) — make that contract enforceable: pull at most bound+1 rows
+    // (limit-pushdown, so an over-bound consumer stops after bound+1 rows instead
+    // of materializing the full result) and fail fast with a clear message rather
+    // than silently OOM-ing the driver on a future corpus-sized consumer.
+    val bound = spark.conf.getOption("graft.detach.maxRows")
+      .map(_.toLong).getOrElse(DetachMaxRowsDefault)
+    val rows = df.limit((bound + 1).min(Int.MaxValue.toLong).toInt).collect()
+    require(rows.length <= bound,
+      s"DocExtract.detach: consumer produced more than $bound rows — the " +
+        "bounded-result contract of withSentences is violated; materialize this " +
+        "consumer to storage (sink.Materialize) or raise graft.detach.maxRows " +
+        "explicitly instead of collecting a corpus-sized result to the driver")
+    spark.createDataFrame(rows.toSeq.asJava, df.schema)
   }
 
   /**

@@ -134,4 +134,49 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     }
     assert(err.getMessage.toLowerCase.contains("foldable"))
   }
+
+  test("array_any_in_set: hash-probe semantics, nulls, CODEGEN_ONLY, no plan literal") {
+    import graft.functions.ArrayAnyInSet
+    val probe = (0 until 5000).map(i => s"shingle token number $i").toArray
+    // range source so the projection goes through WholeStageCodegen generated java
+    val df = spark.range(4).select(
+      when(col("id") === 0, array(lit("shingle token number 7"), lit("zzz")))
+        .when(col("id") === 1, array(lit("nope"), lit("also nope")))
+        .when(col("id") === 2, array(lit("x"), lit(null: String)))
+        .otherwise(lit(null).cast("array<string>")).as("arr"))
+      .select(col("arr"), ArrayAnyInSet.column(col("arr"), probe).as("hit"))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevProjFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val got = try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      df.collect().map(r => if (r.isNullAt(1)) None else Some(r.getBoolean(1))).toSeq
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevProjFactory)
+    }
+    assert(got === Seq(Some(true), Some(false), Some(false), None))
+    // the 5000-entry vocabulary must NOT appear in plan dumps — only an opaque count
+    // (probe "…4999" is set-only: the fixture's own literals never mention it)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("shingle token number 4999"), "probe set leaked into the plan")
+    assert(plan.contains("StringSet(n=5000)"), s"opaque holder missing:\n$plan")
+  }
+
+  test("contaminationFlag plan carries no literal eval vocabulary") {
+    import spark.implicits._
+    val eval = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val flag = graft.dedup.Dedup.contaminationFlag(eval, "text", n = 4)
+    // range-derived text so the optimizer can't constant-fold the projection away
+    val df = spark.range(1)
+      .select(concat(lit("pre one two three four post"), col("id")).as("text"))
+      .withColumn("contaminated", flag)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("array_any_in_set"), s"flag lost the native probe:\n$plan")
+    assert(plan.contains("StringSet(n="), s"opaque holder missing:\n$plan")
+    // "two three four five" is an eval shingle that is NOT a substring of the doc
+    // fixture — if it shows up, the vocabulary leaked into the plan as a literal
+    assert(!plan.contains("two three four five"), s"eval shingles leaked:\n$plan")
+    assert(df.collect().head.getBoolean(1))
+  }
 }

@@ -96,4 +96,25 @@ class RelationSpec extends AnyFunSuite with SparkTest {
     val got = triples.map(t => (t.subj, t.obj)).toSet
     assert(got.subsetOf(gold), s"extra: ${got -- gold}")
   }
+
+  test("detach fails fast when a consumer exceeds the bounded-result contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "please merge alpha now"),
+      (2L, "please merge beta now")).toDF("doc_id", "text")
+    // pairStats emits one row per (context, target) pair — 2 rows here; with the
+    // bound forced to 1 the driver-side materialization must abort with a clear
+    // message instead of collecting an over-bound result
+    spark.conf.set("graft.detach.maxRows", "1")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        DocExtract.pairStats(docs, "doc_id", "text", "merge", Seq("alpha", "beta"))
+      }
+      assert(ex.getMessage.contains("bounded-result contract"), ex.getMessage)
+    } finally spark.conf.unset("graft.detach.maxRows")
+    // the same consumer under the default bound succeeds
+    val ok = DocExtract.pairStats(docs, "doc_id", "text", "merge",
+      Seq("alpha", "beta"))
+    assert(ok.count() >= 2)
+  }
 }

@@ -25,11 +25,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTest {
       .toDF("form")
     val edges = EntityLink.candidateEdges(forms, minJaccard = 0.5)(spark)
       .select("src", "dst").as[(String, String)].collect().toSet
-    // same-block (a:2) pair at jaccard 1.0
-    assert(edges.contains(("Acme Corp", "acme corp")))
-    // different token counts → different blocks → no edge (recall traded for scale)
-    assert(!edges.exists(e => e._1.contains("Inc") || e._2.contains("Inc")))
+    // family-a block (a:a:2) pair at jaccard 1.0 (also shares the minhash block —
+    // the cross-family duplicate must be deduped to one edge)
+    assert(edges.count(e => e == (("Acme Corp", "acme corp"))) == 1)
+    // different token count puts "Acme Corp Inc" in another a: block, but its
+    // md5-min token is still "corp" → the minhash family recovers the pair
+    // (jaccard 2/3 ≥ 0.5) that single-family blocking lost
+    assert(edges.contains(("Acme Corp Inc", "acme corp")))
+    assert(edges.contains(("Acme Corp", "Acme Corp Inc")))
     assert(!edges.exists(e => e._1.contains("Globex") || e._2.contains("Globex")))
+  }
+
+  test("over-cap block: aliases dropped from family a still link via minhash; audit") {
+    import spark.implicits._
+    // all four forms share family-a block a:z:2; cap=2 keeps only "za aa"/"zb bb"
+    // there — but the two international aliases share md5-min token "international"
+    // (15d7… < md5 of zeta/zulu), so the m: family still pairs them (jaccard 1/3)
+    val forms = Seq("za aa", "zb bb", "zeta international", "zulu international")
+      .toDF("form")
+    val edges = EntityLink.candidateEdges(forms, minJaccard = 0.3, maxBlockSize = 2)(spark)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(edges.contains(("zeta international", "zulu international")),
+      s"minhash family failed to recover the over-cap pair: $edges")
+    // the drop is NOT silent: the audit names the over-cap block and its loss
+    val audit = EntityLink.blockAudit(forms, maxBlockSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(audit.toSeq == Seq(("a:z:2", 4L, 2L)), audit.mkString(","))
   }
 
   test("entity linking embedding scoring links same-block aliases by cosine") {

@@ -664,6 +664,21 @@ object SparkEntry {
       graft.canon.ConnectedComponents.run(edges)
         .select(col("node").cast("long").as("doc_id"),
           col("component").cast("long").as("component"))
+    }),
+
+    // ---- POS-category annotation: the :token|category|* track on crawl text ----
+    // One row per engine token from the REAL annotate path (Token features now carry
+    // `category`, ref GateBatch.java:604-647); the oracle replays tokenization with a
+    // regex and the tagger as a CASE expression GENERATED from the same rule tables.
+    "q61_pos_labels" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.nlp.Tokenizer.annotate(id.toString, text)
+            .filter(_.annotType == "Token").zipWithIndex.map { case (a, i) =>
+              (id, (i + 1).toLong, a.value, a.features("category"))
+            }
+        }.toDF("doc_id", "tok_idx", "tok", "category")
     })
   )
 
@@ -1645,6 +1660,29 @@ object SparkEntry {
             UNION
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
-          FROM reach GROUP BY a"""
+          FROM reach GROUP BY a""",
+
+    // Twin of Tokenizer.scan (ASCII corpus: letter runs | digit runs with interior
+    // decimal points | single punctuation chars) + PosTagger.caseSql, which is
+    // GENERATED from the tagger's own rule tables so engine and oracle cannot drift.
+    // Values truncate at 500 chars on both sides (safeValue, ref GateBatch.java:555).
+    "q61_pos_labels" ->
+      s"""WITH toks AS (SELECT doc_id,
+                 regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+(?:\\.[0-9]+)*|[^a-zA-Z0-9\\s]') AS tk
+               FROM documents),
+          ix AS (SELECT doc_id, unnest(range(1, len(tk)+1)) AS i, tk FROM toks),
+          tok1 AS (SELECT doc_id, CAST(i AS BIGINT) AS tok_idx,
+                          substring(tk[i], 1, 500) AS tok FROM ix),
+          kinded AS (SELECT doc_id, tok_idx, tok,
+                            CASE WHEN substring(tok, 1, 1) BETWEEN '0' AND '9'
+                                   THEN 'number'
+                                 WHEN lower(substring(tok, 1, 1)) BETWEEN 'a' AND 'z'
+                                   THEN 'word'
+                                 ELSE 'punctuation' END AS kind
+                     FROM tok1)
+          SELECT doc_id, tok_idx, tok,
+                 ${graft.nlp.PosTagger.caseSql("tok", "kind")} AS category
+          FROM kinded"""
   )
 }

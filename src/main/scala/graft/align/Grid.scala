@@ -110,6 +110,7 @@ object Grid {
       t.features.get("string").foreach(v => add(label("token", "string", v), ci, ci))
       t.features.get("root").foreach(v => add(label("token", "root", v), ci, ci))
       t.features.get("orth").foreach(v => add(label("token", "orth", v), ci, ci))
+      t.features.get("category").foreach(v => add(label("token", "category", v), ci, ci))
       t.features.get("kind").foreach(v => add(label("token", "kind", v), ci, ci))
       otherRanges.foreach { case (a, lo, hi) =>
         if (lo <= ci && ci <= hi) {

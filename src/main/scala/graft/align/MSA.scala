@@ -21,9 +21,14 @@ object MSA {
   final case class Gates(maxGaps: Int = 4, minAnchors: Int = 2, minScore: Double = 0.0,
       maxSyntax: Int = Int.MaxValue, maxPhrase: Int = Int.MaxValue)
 
-  /** Anchors whose matched label is syntax-level (ref MSAUtils.countSyntax). */
+  /** Anchors whose matched label is syntax-level — POS category, orth, or phrase
+    * shape (ref MSAUtils.countSyntax's class list, MSAUtils.java:41-55: a column is
+    * "syntax-only" when EVERY label is category/orth/syntaxtreenode/dependency; one
+    * anchor carries one matched label here, so the per-anchor test is prefix
+    * membership in that class). */
   def countSyntax(al: SmithWaterman.Alignment): Int =
-    al.anchors.count(_.label.startsWith(":syntaxtreenode"))
+    al.anchors.count(a => a.label.startsWith(":syntaxtreenode") ||
+      a.label.startsWith(":token|category|") || a.label.startsWith(":token|orth|"))
 
   /** Phrase-node anchors (ref MSAUtils.countPhrase: `:syntaxtreenode|cat|…` phrases). */
   def countPhrase(al: SmithWaterman.Alignment): Int =

@@ -59,6 +59,12 @@ object SmithWaterman {
         else if (label == ":number" || label == ":date") 5.0
         else if (label.startsWith(":token|orth|")) 2.0
         else if (label.startsWith(":syntaxtreenode|")) 1.5 // phrase shape: weak
+        // POS generalization: the reference scores Token.category near-zero
+        // (ie.properties scoreList — string 10, root 9, category 0.01) but has no
+        // kind label at all; here it must outrank the bare :token|kind|word default
+        // (1.0) or a shared category could never become the anchor, while staying
+        // below orth/phrase so more specific shape labels still win
+        else if (label.startsWith(":token|category|")) 1.2
         else 1.0
     }
 

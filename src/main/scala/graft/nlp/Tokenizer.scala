@@ -101,7 +101,10 @@ object Tokenizer {
       val v = safeValue(text, t.begin, t.end)
       val feats = mutable.Map[String, String](
         "string" -> v, "root" -> v.toLowerCase, "kind" -> t.kind,
-        "length" -> (t.end - t.begin).toString)
+        "length" -> (t.end - t.begin).toString,
+        // POS category on every token (reference: GateBatch.java:604-647 serializes
+        // `category` in each Token feature map) — the :token|category|* label track
+        "category" -> PosTagger.tag(t.kind, v))
       if (t.kind == "word") feats += ("orth" -> orth(v))
       out += Annotation(url, id, "Token", t.begin, t.end, v, feats.toMap, provenance, 1.0)
       id += 1

@@ -679,7 +679,17 @@ object SparkEntry {
               (id, (i + 1).toLong, a.value, a.features("category"))
             }
         }.toDF("doc_id", "tok_idx", "tok", "category")
-    })
+    }),
+
+    // ---- trained-BPE token counting (the real token-budget currency) ----
+    // Merge table = Bpe.DefaultMerges (frozen train() output over the q54 vocabulary
+    // feed at sf0.01 — FIXTURES.md); counting runs on the native bpe_count kernel;
+    // the oracle re-applies the SAME table with a recursive-CTE greedy segmenter.
+    "q62_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.text.Bpe.countColumn(col("text"), graft.text.Bpe.DefaultMerges)
+          .as("n_bpe"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws")))
   )
 
   // ---------------------------------------------------------------------------
@@ -1683,6 +1693,37 @@ object SparkEntry {
                      FROM tok1)
           SELECT doc_id, tok_idx, tok,
                  ${graft.nlp.PosTagger.caseSql("tok", "kind")} AS category
-          FROM kinded"""
+          FROM kinded""",
+
+    // Twin of Bpe: same frozen merge table (rendered by Bpe.mapSql — generated, so
+    // engine and oracle cannot drift), same greedy semantics (merge the LEFTMOST
+    // occurrence of the LOWEST-RANK pair, one per step — the lexicographic min over
+    // [rank, position] pairs), replayed per DISTINCT word by a recursive CTE; the
+    // terminal segmentation is the min-length state. Sentinel 1000000 = "no merge".
+    "q62_bpe_tokens" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
+          words AS (SELECT DISTINCT unnest(tk) AS w FROM docs),
+          seg AS (
+            SELECT w, list_transform(range(1, len(w)+1), i -> w[i:i]) AS syms
+            FROM words
+            UNION ALL
+            SELECT w, syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
+                      || syms[best[2]+2:] AS syms
+            FROM (SELECT w, syms,
+                    list_aggregate(list_transform(range(1, len(syms)),
+                      i -> [coalesce(
+                              (${graft.text.Bpe.mapSql(graft.text.Bpe.DefaultMerges)}
+                              )[syms[i] || ' ' || syms[i+1]][1], 1000000),
+                            i]), 'min') AS best
+                  FROM seg WHERE len(syms) > 1)
+            WHERE best[1] < 1000000),
+          wn AS (SELECT w, CAST(min(len(syms)) AS BIGINT) AS n FROM seg GROUP BY w),
+          expl AS (SELECT doc_id, unnest(tk) AS w FROM docs),
+          sums AS (SELECT e.doc_id, CAST(sum(wn.n) AS BIGINT) AS n_bpe
+                   FROM expl e JOIN wn USING (w) GROUP BY e.doc_id)
+          SELECT d.doc_id, CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe,
+                 CAST(len(d.tk) AS BIGINT) AS n_ws
+          FROM docs d LEFT JOIN sums s USING (doc_id)"""
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.corpus.Curation
 
@@ -87,5 +88,30 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 5L))
     val cum = out.map(t => t._1 -> t._3).toMap
     assert(cum == Map(1L -> 5L, 2L -> 9L, 5L -> 3L))
+  }
+
+  test("tokenBudgetMix packs by trained-BPE counts when n_toks is BPE-derived") {
+    import spark.implicits._
+    import graft.text.Bpe
+    // whitespace counting sees 3 tokens in BOTH docs; trained BPE sees 9 ("the"
+    // never merges → 3 subwords/word) vs 3 (vocabulary words collapse) — so the
+    // admitted set under an 11-subword budget differs between the two currencies
+    val docs = Seq(
+      (1L, "en", "the the the"),       // 9 BPE subwords
+      (2L, "en", "join hash scan"))    // 3 BPE subwords
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_toks", Bpe.countColumn(col("text"), Bpe.DefaultMerges))
+    val out = Curation.tokenBudgetMix(docs, "doc_id", "lang", "text",
+        Map("en" -> 11L), defaultBudget = 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("cum_toks"))).sortBy(_._1).toSeq
+    // BPE priority order: doc 1 (9) admitted at cum 9 ≤ 11; doc 2 (3) overflows
+    assert(out == Seq((1L, 9L, 9L)),
+      s"budget did not consume the BPE counts: $out")
+    // whitespace counting admits BOTH — proving the currency actually changed
+    val ws = Curation.tokenBudgetMix(docs.drop("n_toks"), "doc_id", "lang", "text",
+        Map("en" -> 11L), defaultBudget = 100L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ws == Seq(1L, 2L))
   }
 }

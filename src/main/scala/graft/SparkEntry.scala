@@ -689,7 +689,22 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.text.Bpe.countColumn(col("text"), graft.text.Bpe.DefaultMerges)
           .as("n_bpe"),
-        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws")))
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws"))),
+
+    // ---- REAL image decode: PNG round trip → integer-exact luminance grid ----
+    // Payloads are real PNGs (JDK ImageIO writer) whose pixels are the closed form
+    // (7x + 13y + 31·id) mod 256; the engine DECODES the bytes with the real codec,
+    // the oracle recomputes the grid from the formula alone — codec correctness is
+    // exactly what the comparison proves.
+    "q63_image_features" -> ((s, d) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.multimodal.Multimodal.MediaRow(
+          id, "image", graft.multimodal.Multimodal.syntheticPng(id, 16, 16),
+          16, 16, 0L))
+      graft.multimodal.Multimodal.imageGridFeatures(media, grid = 4)
+    })
   )
 
   // ---------------------------------------------------------------------------
@@ -1724,6 +1739,22 @@ object SparkEntry {
                    FROM expl e JOIN wn USING (w) GROUP BY e.doc_id)
           SELECT d.doc_id, CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe,
                  CAST(len(d.tk) AS BIGINT) AS n_ws
-          FROM docs d LEFT JOIN sums s USING (doc_id)"""
+          FROM docs d LEFT JOIN sums s USING (doc_id)""",
+
+    // Twin of Multimodal.lumaGridBp over the synthetic gradient: pixel luma is the
+    // closed form (7x + 13y + 31·id) mod 256 (grayscale → BT.601 luma == gray), cell
+    // = (y*4 DIV 16)*4 + (x*4 DIV 16), mean_bp = 10000·Σluma DIV (255·n). The oracle
+    // never decodes bytes — agreement proves the engine's PNG encode→decode round
+    // trip is pixel-exact.
+    "q63_image_features" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          px AS (SELECT media_id, r1.range AS x, r2.range AS y,
+                        (7 * r1.range + 13 * r2.range + 31 * media_id) % 256 AS luma
+                 FROM ids, range(0, 16) r1, range(0, 16) r2)
+          SELECT media_id,
+                 CAST((y * 4 // 16) * 4 + (x * 4 // 16) AS BIGINT) AS cell,
+                 CAST(10000 * sum(luma) // (255 * count(*)) AS BIGINT) AS mean_bp
+          FROM px
+          GROUP BY media_id, (y * 4 // 16) * 4 + (x * 4 // 16)"""
   )
 }

@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: image/audio/video as opaque `binary` columns with typed
  * metadata, processed in batch-shaped per-partition passes.
  *
- * The actual codecs (JPEG decode, audio resample, video frame extraction) are NOT in
- * this container, so the decode kernel is a clearly-marked deterministic STUB — but
- * everything Spark-cares-about is real and tested: the schema (binary payload + typed
- * metadata struct), the partitioning (media rows are large → size-based repartition so
- * a partition's payload fits executor memory), the batch-shaped per-partition UDF
- * (Scala `mapPartitions`, the JVM analog of `mapInPandas` — one iterator pass, no
- * per-row setup), and the feature-vector output shape that feeds graft.sim.Similarity.
+ * IMAGE decode is REAL: `javax.imageio` ships PNG/BMP/JPEG/GIF readers in the JDK, so
+ * `kind = image` payloads decode to pixels and feature-extract as a downsampled
+ * luminance grid (integer-exact basis points — oracle-replayable for synthetic
+ * images whose pixels are a closed-form function of the id). Audio/video codecs are
+ * NOT in this container, so those kinds keep the clearly-marked deterministic STUB —
+ * as does an image payload that fails to decode (corrupt bytes never kill the pass).
+ * Everything Spark-cares-about is real and tested: the schema (binary payload +
+ * typed metadata struct), the partitioning (media rows are large → size-based
+ * repartition so a partition's payload fits executor memory), the batch-shaped
+ * per-partition pass (Scala `mapPartitions`, the JVM analog of `mapInPandas` — one
+ * iterator pass, codec init amortized per partition), and the feature-vector output
+ * shape that feeds graft.sim.Similarity.
  */
 object Multimodal {
 
@@ -56,6 +61,102 @@ object Multimodal {
     out
   }
 
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers are always
+    * present). None when the payload is not a decodable image — callers fall back to
+    * the stub rather than failing the partition. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /**
+   * Downsampled luminance grid, integer-exact: the image is cut into `grid`×`grid`
+   * cells (pixel (x, y) → cell (x*grid DIV w, y*grid DIV h) — the same integer
+   * division an oracle replays), each cell's value is
+   * `floor(10000 * Σluma / (255 * nPixels))` basis points, row-major. Luma is the
+   * integer BT.601 weighting `(299r + 587g + 114b) DIV 1000`, which is exactly the
+   * gray value for grayscale pixels — no floating point anywhere, so features are
+   * byte-identical across JVMs, parallelism, and the SQL twin.
+   */
+  def lumaGridBp(img: java.awt.image.BufferedImage, grid: Int): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // raw raster samples, NOT getRGB: getRGB converts through the image's color
+    // space (a grayscale PNG decodes as LINEAR gray, so getRGB would gamma-map
+    // 35 → 99 and silently break pixel exactness); band 0..2 are R,G,B for color
+    // rasters, band 0 IS the gray value for single-band rasters
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val sums = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val luma =
+          if (bands >= 3)
+            (299L * raster.getSample(x, y, 0) + 587L * raster.getSample(x, y, 1) +
+              114L * raster.getSample(x, y, 2)) / 1000L
+          else raster.getSample(x, y, 0).toLong
+        val cell = cy * grid + x * grid / w
+        sums(cell) += luma
+        counts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0L) 0L else 10000L * sums(c) / (255L * counts(c)))
+  }
+
+  /**
+   * Deterministic synthetic PNG: a `w`×`h` grayscale gradient whose pixel (x, y)
+   * value is the CLOSED-FORM `(7x + 13y + 31·id) mod 256` — encoded through the real
+   * PNG writer, so q63's round trip (encode → ImageIO decode → luminance grid)
+   * exercises an actual codec while the oracle recomputes the expected grid from the
+   * formula alone, never touching the bytes.
+   */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((7L * x + 13L * y + 31L * id) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Oracle-checkable image feature stage: decode each image payload with the REAL
+   * codec and emit one row per luminance-grid cell, `(media_id, cell, mean_bp)` —
+   * all bigint, exactly replayable. Undecodable payloads emit nothing (they take the
+   * stub path in [[extractFeatures]]). Same batch-shaped partitioning contract as
+   * extractFeatures.
+   */
+  def imageGridFeatures(media: Dataset[MediaRow], grid: Int = 4)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.repartition(col("media_id"))
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          if (m.kind != "image") Iterator.empty
+          else decodeImage(m.payload).iterator.flatMap { img =>
+            lumaGridBp(img, grid).iterator.zipWithIndex.map { case (bp, c) =>
+              (m.media_id, c.toLong, bp)
+            }
+          }
+        }
+      }.toDF("media_id", "cell", "mean_bp")
+  }
+
   private def checksum64(b: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
@@ -75,12 +176,22 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val grid = math.sqrt(dim.toDouble).toInt
     media.repartition(col("media_id"))
       .mapPartitions { it =>
         // per-partition codec init would go here (amortized, batch-shaped)
         it.map { m =>
+          // images decode for real (JDK ImageIO) when dim is a square grid; any
+          // undecodable payload — and audio/video, whose codecs this container
+          // lacks — takes the deterministic stub
+          val feats =
+            if (m.kind == "image" && grid * grid == dim)
+              decodeImage(m.payload)
+                .map(img => lumaGridBp(img, grid).map(_.toFloat / 10000f))
+                .getOrElse(stubDecode(m.payload, dim))
+            else stubDecode(m.payload, dim)
           MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-            checksum64(m.payload), stubDecode(m.payload, dim))
+            checksum64(m.payload), feats)
         }
       }
   }

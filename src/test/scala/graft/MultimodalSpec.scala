@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Real image decode (JDK ImageIO): pixel-exact PNG round trip, the integer-exact
+  * luminance grid, a FOREIGN checked-in PNG fixture (written by an independent
+  * encoder, not ImageIO's own writer), and the extractFeatures kind/fallback
+  * routing. */
+class MultimodalSpec extends AnyFunSuite with SparkTest {
+
+  test("synthetic PNG round trip is pixel-exact; lumaGridBp matches the closed form") {
+    val id = 42L
+    val img = Multimodal.decodeImage(Multimodal.syntheticPng(id, 16, 16)).get
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    // spot-check pixels against the generator formula
+    for ((x, y) <- Seq((0, 0), (7, 3), (15, 15))) {
+      val v = ((7L * x + 13L * y + 31L * id) % 256L).toInt
+      assert((img.getRGB(x, y) & 0xff) == v, s"pixel ($x,$y)")
+    }
+    // grid against a from-scratch reimplementation of the closed form
+    val sums = Array.fill(16)(0L)
+    val cnt = Array.fill(16)(0L)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val c = (y * 4 / 16) * 4 + (x * 4 / 16)
+      sums(c) += (7L * x + 13L * y + 31L * id) % 256L
+      cnt(c) += 1L
+    }
+    val expected = Array.tabulate(16)(c => 10000L * sums(c) / (255L * cnt(c)))
+    assert(Multimodal.lumaGridBp(img, 4).toSeq == expected.toSeq)
+  }
+
+  test("a FOREIGN 8-bit grayscale PNG (independent encoder) decodes to pinned grid") {
+    // written by a from-scratch python zlib/struct PNG writer — NOT ImageIO —
+    // pixel (x,y) = (7x + 13y + 5) % 256 over 8x8; expected 2x2 grid computed from
+    // the formula. Pins ImageIO's decode against an external producer.
+    val b64 = "iVBORw0KGgoAAAANSUhEUgAAAAgAAAAICAAAAADhZOFXAAAAUElEQVR4nGNg5RGWUtTQ" +
+      "N2MQklRQ1zO1cWaQV9M1sXbyDGDQMbZy9PAPi2WwdHD3C41JzmJw8w2JTsosKGcIjkrMyC+rbWFI" +
+      "SM8rrWnumggAAKYSwWW2R9cAAAAASUVORK5CYII="
+    val png = java.util.Base64.getDecoder.decode(b64)
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    assert(Multimodal.lumaGridBp(img, 2).toSeq == Seq(1372L, 2470L, 3411L, 4509L))
+  }
+
+  test("extractFeatures: real decode for images, stub for non-images and bad bytes") {
+    import spark.implicits._
+    val png = Multimodal.syntheticPng(7L, 16, 16)
+    val textBytes = "not an image at all".getBytes("UTF-8")
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", png, 16, 16, 0L),
+      Multimodal.MediaRow(2L, "image", textBytes, 0, 0, 0L),   // undecodable → stub
+      Multimodal.MediaRow(3L, "audio", png, 0, 0, 1000L)))     // wrong kind → stub
+    val out = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(f => f.media_id -> f).toMap
+    val gridF = Multimodal.lumaGridBp(Multimodal.decodeImage(png).get, 4)
+      .map(_.toFloat / 10000f)
+    assert(out(1L).features.toSeq == gridF.toSeq)
+    assert(out(2L).features.toSeq == Multimodal.stubDecode(textBytes, 16).toSeq)
+    assert(out(3L).features.toSeq == Multimodal.stubDecode(png, 16).toSeq)
+    assert(out.values.forall(_.n_bytes > 0))
+  }
+}

@@ -197,6 +197,96 @@ object Materialize {
       implicit spark: SparkSession): Boolean =
     graft.util.Fs.parquetDataExists(checkpointPath)
 
+  /**
+   * Compaction — the Iceberg `rewrite_data_files` analog for the parquet stand-in:
+   * bin-packing rewrite of fragmented bucket partitions. Small-file buildup is what
+   * kills a 100 TB store that is appended/resumed in many increments; this rewrites
+   * each bucket whose file count exceeds `ceil(bytes / targetFileBytes)` down to that
+   * packed count, with
+   *  - content-identity verification: the order-insensitive FULL-ROW hash
+   *    (bit_xor of xxhash64 over every data column) must match before/after, or the
+   *    bucket is left untouched and the job fails loudly;
+   *  - atomic-enough swap: rewrite lands in an underscore-hidden temp dir (invisible
+   *    to readers), the live dir moves to a trash dir, temp renames into place, trash
+   *    drops — a crash leaves either the old or the new complete directory, never a
+   *    mix, and `pendingBuckets`' vanished-data probe re-queues the bucket in the
+   *    worst case;
+   *  - lineage: one appended `_checkpoints` row per rewritten bucket
+   *    (stage = "compact", same (subj, pred, obj) output_hash contract as the write
+   *    stages), so the latest-row-per-bucket resume view stays coherent.
+   *
+   * Driver loop over ≤ nBuckets partitions (each a small job) — the bucket IS the
+   * rewrite unit, exactly like Iceberg's per-partition file groups.
+   *
+   * @return one row per REWRITTEN bucket: (bucket, files_before, files_after,
+   *         rows_out, output_hash).
+   */
+  def compact(path: String, targetFileBytes: Long = 128L * 1024 * 1024)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .sortBy(_.getPath.getName)
+    val rewritten = buckets.toSeq.flatMap { st =>
+      val bucketDir = st.getPath
+      val bucketId = bucketDir.getName.stripPrefix("bucket=").toInt
+      val files = fs.listStatus(bucketDir).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val totalBytes = files.map(_.getLen).sum
+      val packed = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (files.length <= packed) None
+      else {
+        // (rows, full-row hash over name-sorted columns, lineage-contract hash)
+        def identity(dir: String): (Long, Long, Long) = {
+          val df = spark.read.parquet(dir)
+          val r = df.agg(count(lit(1)),
+            coalesce(expr(s"bit_xor(xxhash64(${df.columns.sorted.mkString(", ")}))"),
+              lit(0L)),
+            coalesce(expr("bit_xor(xxhash64(subj, pred, obj))"), lit(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val before = identity(bucketDir.toString)
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s"_compact_tmp/${bucketDir.getName}")
+        fs.delete(tmp, true)
+        spark.read.parquet(bucketDir.toString).coalesce(packed)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val after = identity(tmp.toString)
+        require(before == after,
+          s"compact: content identity changed for bucket $bucketId " +
+            s"(before=$before after=$after) — rewrite aborted, original intact")
+        val trash = new org.apache.hadoop.fs.Path(root,
+          s"_compact_trash/${bucketDir.getName}")
+        fs.delete(trash, true)
+        fs.mkdirs(trash.getParent)
+        require(fs.rename(bucketDir, trash), s"compact: could not stage bucket $bucketId")
+        require(fs.rename(tmp, bucketDir), s"compact: could not swap bucket $bucketId")
+        fs.delete(trash, true)
+        val filesAfter = fs.listStatus(bucketDir).count { f =>
+          val n = f.getPath.getName
+          f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        Some((bucketId, files.length, filesAfter, before._1, before._3))
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_compact_tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_compact_trash"), true)
+    val out = rewritten
+      .toDF("bucket", "files_before", "files_after", "rows_out", "output_hash")
+    if (rewritten.nonEmpty)
+      out.select(col("bucket").cast("int").as("bucket"), col("rows_out"),
+          col("output_hash"), lit("compact").as("stage"),
+          current_timestamp().as("completed_at"))
+        .write.mode("append").parquet(path + "_checkpoints")
+    out
+  }
+
   /** Resume: which buckets still need writing given an existing checkpoint table.
     *
     * When `dataPath` is given, a committed bucket whose data partition has VANISHED

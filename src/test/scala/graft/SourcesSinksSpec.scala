@@ -236,4 +236,56 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     assert(cps.agg(org.apache.spark.sql.functions.sum("rows_out")).head.getLong(0) === 200L)
     assert(spark.read.parquet(path + "_checkpoints").count() === nB + 1)
   }
+
+  test("compact: file count drops, content identical, resume lineage intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = tmpDir() + "/triples"
+    val nB = 4
+    // fragment the store: three incremental writes into the same buckets
+    (0 until 3).foreach { g =>
+      val triples = spark.createDataset((0 until 60).map(i =>
+        Triple(s"subj${g * 60 + i}", "p", s"o${g * 60 + i}",
+          s"https://x/${g * 60 + i}", 0, 1, 1L, 1.0)))
+      Materialize.withBucket(triples, nB)
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    }
+    def dataFiles(b: Int): Int =
+      new java.io.File(s"$path/bucket=$b").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def contentHash(): Long = spark.read.parquet(path)
+      .agg(expr("bit_xor(xxhash64(subj, pred, obj, url, begin, end))"))
+      .head.getLong(0)
+    val filesBefore = (0 until nB).map(dataFiles)
+    assert(filesBefore.forall(_ >= 3), s"fixture not fragmented: $filesBefore")
+    val hashBefore = contentHash()
+    // seed a lineage table so compaction's appended rows join an existing trail
+    spark.read.parquet(path).groupBy("bucket")
+      .agg(count(lit(1)).as("rows_out"),
+        expr("bit_xor(xxhash64(subj, pred, obj))").as("output_hash"))
+      .withColumn("stage", lit("materialize"))
+      .withColumn("completed_at", current_timestamp())
+      .write.mode("overwrite").parquet(path + "_checkpoints")
+
+    val out = Materialize.compact(path, targetFileBytes = 1L << 30)(spark)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out.keySet == (0 until nB).toSet, s"not all buckets rewritten: $out")
+    (0 until nB).foreach { b =>
+      val (fb, fa, _) = out(b)
+      assert(fb >= 3 && fa == 1, s"bucket $b: $fb -> $fa files")
+      assert(dataFiles(b) == 1)
+    }
+    assert(contentHash() === hashBefore, "compaction changed the store contents")
+    assert(spark.read.parquet(path).count() === 180)
+    // lineage: one appended compact row per bucket; resume sees nothing pending
+    val cpsTbl = spark.read.parquet(path + "_checkpoints")
+    assert(cpsTbl.filter(col("stage") === "compact").count() === nB.toLong)
+    val pending = Materialize.pendingBuckets(
+      Materialize.withBucket(spark.read.parquet(path).drop("bucket")
+        .as[Triple], nB), path + "_checkpoints", Some(path))
+    assert(pending.count() === 0L, "compaction broke resume lineage")
+    // idempotence: an already-packed store rewrites nothing
+    assert(Materialize.compact(path, targetFileBytes = 1L << 30)(spark).count() === 0L)
+  }
 }

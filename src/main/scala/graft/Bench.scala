@@ -41,26 +41,39 @@ object Bench {
 
     // ---- phase 1: operator battery (skipped in scaling-only mode) ----
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")
-    val results: Seq[(String, Double)] = if (scalingOnly) Seq.empty else {
+    // (name, seconds, plan fingerprint): the fingerprint is md5-16hex of the
+    // CANONICALIZED pre-execution physical plan, so round-over-round plan
+    // regressions (a lost broadcast, a new shuffle) are diffable straight from the
+    // bench artifact — not only through PlansSpec.
+    val results: Seq[(String, Double, String)] = if (scalingOnly) Seq.empty else {
       val spark = session(cpus)
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd.count() forces full row materialization — a bare count() would let
         // Catalyst prune every computed column and time an empty scan.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val fp = try {
+          val df = fn(spark, sfDir)
+          val planStr = df.queryExecution.executedPlan.canonicalized.toString
+          df.queryExecution.toRdd.count()
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(planStr.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        }
+        catch { case _: Throwable => "err" }
+        (name, (System.nanoTime() - t0) / 1e9, fp)
       }
       graft.extract.DocExtract.clearSentenceCache()
+      SparkEntry.clearKgTriplesCache()
       spark.stop()
       r
     }
+    def qsJson: String = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    def plansJson: String = results.map { case (k, _, fp) => "\"" + k + "\":\"" + fp + "\"" }
+      .mkString("{", ",", "}")
 
     // battery-only mode for local iteration (driver runs the full mode per round)
     if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("battery")) {
-      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"battery","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      println(s"""{"metric":"battery","value":${results.map(_._2).sum},"unit":"sec","queries":$qsJson,"plans":$plansJson,"sf":"$sfDir"}""")
       return
     }
 
@@ -105,32 +118,69 @@ object Bench {
           .getOrElse(sys.error(s"child c$cores gave no $k: $out"))
       ScaleResult(num("sec"), lng("triples"), lng("hash"))
     }
+    // Pure-CPU host-scaling ceiling, measured IN-PHASE with each pair: fixed total
+    // work (48 units of a long LCG loop) split over K threads, timed at K=4 then
+    // K=16 — (t4/t16)/4 is the best scaling ANY 4→16-thread computation can show on
+    // this host at this moment (the sandbox oversubscribes its advertised vCPUs, so
+    // the ceiling sits well under 1.0 even on an idle box; measured 0.80–0.86 across
+    // sessions). Embedding it per pair makes the bench artifact SELF-NORMALIZING:
+    // eff/ceiling ≈ 1.0 means the job scales as well as the hardware allows, however
+    // noisy the phase the driver happened to run in.
+    def burn(threads: Int): Double = {
+      val units = 48
+      val iters = 400000000L
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val fs = (0 until units).map { u =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var h = u.toLong; var i = 0L
+            while (i < iters) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
+            h
+          }
+        })
+      }
+      val sink = fs.map(_.get()).reduce(_ ^ _)
+      pool.shutdown()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[burn] t$threads ${sec}%.2fs (sink=$sink)")
+      sec
+    }
+    def hostCeiling(): Double = burn(4) / burn(16) / 4.0
+
     // Alternating (N, 4N) PAIRS with per-pair efficiency: the sandbox host's
     // throughput moves in multi-minute phases (2-3× swings), so comparing a
     // quiet-phase N sample against a noisy-phase 4N sample reports a phantom
     // efficiency in either direction. Each pair's two child runs are temporally
     // adjacent — both levels see the same host phase, the closest sandbox analog of
-    // running the N and 4N clusters on the same hardware conditions — and the
-    // reported efficiency is the best pair's (its samples were least disturbed).
-    // All pairs' efficiencies are emitted for transparency; hashes must agree across
-    // every run.
+    // running the N and 4N clusters on the same hardware conditions — and a CPU-burn
+    // ceiling is taken immediately after the pair, in the same phase. All pairs'
+    // efficiencies and ceilings are emitted for transparency; hashes must agree
+    // across every run.
+    case class Pair(rN: ScaleResult, r4N: ScaleResult, eff: Double,
+        ceiling: Double, norm: Double)
     val pairs = (1 to 3).map { _ =>
       val rN0 = childRun(4, reps = 2)
       val r4N0 = childRun(16, reps = 2)
-      (rN0, r4N0, (rN0.sec / r4N0.sec) / 4.0)
+      val eff0 = (rN0.sec / r4N0.sec) / 4.0
+      val c0 = hostCeiling()
+      Pair(rN0, r4N0, eff0, c0, math.min(1.0, eff0 / c0))
     }
     // headline = the MEDIAN pair's efficiency: max-of-pairs is upward-biased (any
     // noise that slows only the c4 run inflates eff and max selects exactly those
     // samples); the median is the unbiased order statistic. All pairs stay visible
-    // in eff_pairs for spread.
-    val (rN, r4N, eff) = pairs.sortBy(_._3).apply(pairs.size / 2)
+    // in eff_pairs for spread. The normalized headline is the median of the per-pair
+    // eff/ceiling ratios (each ratio pairs same-phase measurements).
+    val med = pairs.sortBy(_.eff).apply(pairs.size / 2)
+    val (rN, r4N, eff) = (med.rN, med.r4N, med.eff)
+    val effNorm = pairs.map(_.norm).sorted.apply(pairs.size / 2)
     val rFull = childRun(32, reps = 2)
     val (tN, t4N) = (rN.sec, r4N.sec)
-    val effPairs = pairs.map(p => f"${p._3}%.3f").mkString("[", ",", "]")
-    val hashesOk = pairs.forall(p => p._1.hash == p._2.hash && p._1.hash == rFull.hash)
+    val effPairs = pairs.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")
+    val ceilings = pairs.map(p => f"${p.ceiling}%.3f").mkString("[", ",", "]")
+    val norms = pairs.map(p => f"${p.norm}%.3f").mkString("[", ",", "]")
+    val hashesOk = pairs.forall(p => p.rN.hash == p.r4N.hash && p.rN.hash == rFull.hash)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum + tN + t4N + rFull.sec
     val kg = f"""{"pages":$kgPages,"triples":${r4N.triples},""" +
       f""""sec_c4":$tN%.2f,"sec_c16":$t4N%.2f,"sec_c32":${rFull.sec}%.2f,""" +
@@ -138,7 +188,9 @@ object Bench {
       f""""docs_per_sec_c32":${kgPages / rFull.sec}%.1f,""" +
       f""""triples_per_sec_c32":${rFull.triples / rFull.sec}%.1f,""" +
       f""""scaling_efficiency":$eff%.3f,"eff_pairs":$effPairs,""" +
+      f""""host_ceilings":$ceilings,"eff_normalized_pairs":$norms,""" +
+      f""""scaling_efficiency_normalized":$effNorm%.3f,""" +
       f""""hash_equal":$hashesOk}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kg":$kg,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"plans":$plansJson,"kg":$kg,"sf":"$sfDir"}""")
   }
 }

@@ -41,12 +41,16 @@ object ScalingRun {
     // warmup: full job shape on a real slice, twice — the extraction kernels must reach
     // C2-compiled steady state BEFORE the timed window (an interpreted first pass is
     // ~30× slower; a token 2k-page warmup demonstrably does not trigger compilation of
-    // all hot loops)
+    // all hot loops). ONE persisted warmup corpus serves both passes — regenerating
+    // it per pass was pure fixed overhead in every child's wall-clock.
+    val warm = testgen.CorpusGen.pagesDS(30000, partitions = 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    warm.count()
     (1 to 2).foreach { _ =>
-      pipeline.ExtractJob.run(
-        testgen.CorpusGen.pagesDS(30000, partitions = 32), patterns,
+      pipeline.ExtractJob.run(warm, patterns,
         testgen.CorpusGen.gazetteer, s"/tmp/graft_scale_warmup_c$cores")
     }
+    warm.unpersist(blocking = false)
 
     var best = Double.MaxValue
     var result: pipeline.ExtractJob.Result = null

@@ -56,6 +56,23 @@ object SparkEntry {
       concat(lit("rf_"), col("l_returnflag")).as("pred"),
       concat(lit("p"), col("l_partkey").cast("string")).as("obj"))
 
+  /** q51–q53 share ONE persisted build of the triple fixture (the q30–q32 cached-pass
+    * idiom): the three graph queries otherwise re-scan and re-derive the same
+    * lineitem projection three times in every battery. Session-scoped (applicationId
+    * in the key, like DocExtract's sentence cache); Verify/Bench clear it on exit. */
+  private val kgTriplesCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def kgTriplesCached(s: SparkSession, d: String): DataFrame =
+    kgTriplesCache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d,
+      kgTriples(t(s, d, "lineitem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def clearKgTriplesCache(): Unit = {
+    kgTriplesCache.values.foreach(_.unpersist(blocking = false))
+    kgTriplesCache.clear()
+  }
+
   /** Two deterministic crawl snapshots for the q55/q56 incremental-maintenance
     * operators: prev omits doc_id%5==0 (those become `added`), curr rewrites
     * doc_id%7==0 (→ `changed`) and omits doc_id%11==0 (→ `removed`). The SQL twin is
@@ -574,18 +591,18 @@ object SparkEntry {
     // Triples derived deterministically from lineitem (subj=supplier, pred=returnflag
     // class, obj=part) — a skewed fact table standing in for the materialized store.
     "q51_entity_degree" -> ((s, d) =>
-      graft.kg.Graph.degreeStats(kgTriples(t(s, d, "lineitem")),
+      graft.kg.Graph.degreeStats(kgTriplesCached(s, d),
           "subj", "pred", "obj")
         .withColumn("is_hub", (col("degree") >= 600L).cast("long"))),
 
     // ---- per-predicate functionality profile (KG quality) ----
     "q52_pred_profile" -> ((s, d) =>
-      graft.kg.Graph.predicateProfile(kgTriples(t(s, d, "lineitem")),
+      graft.kg.Graph.predicateProfile(kgTriplesCached(s, d),
         "subj", "pred", "obj")),
 
     // ---- packed entity cards with the mega-entity fact cap (WindowGroupLimit) ----
     "q53_entity_cards" -> ((s, d) =>
-      graft.kg.Graph.entityCards(kgTriples(t(s, d, "lineitem")),
+      graft.kg.Graph.entityCards(kgTriplesCached(s, d),
         "subj", "pred", "obj", k = 5)),
 
     // ---- corpus token vocabulary (tokenizer-training feed) ----

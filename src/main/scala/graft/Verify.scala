@@ -34,9 +34,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // the q30–q32 battery shares one cached sentence pass — release it so no
-    // persisted dataset outlives the run
+    // the q30–q32 battery shares one cached sentence pass and q51–q53 one cached
+    // triple fixture — release both so no persisted dataset outlives the run
     graft.extract.DocExtract.clearSentenceCache()
+    SparkEntry.clearKgTriplesCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -48,11 +48,20 @@ object ExtractJob {
       }
     }
     val out = triples.toDF().dropDuplicates("subj", "pred", "obj", "url", "begin")
-    out.write.mode("overwrite").parquet(outPath)
-    val r = spark.read.parquet(outPath)
-      .agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(subj, pred, obj, url, begin, end))"), lit(0L)))
-      .head()
-    Result(r.getLong(0), r.getLong(1))
+    // count + order-insensitive hash ride the WRITE itself via Dataset.observe —
+    // zero extra jobs, zero read-back scan (the job used to re-read the parquet it
+    // just wrote only to aggregate identity, a whole extra job inside every timed
+    // scaling window)
+    val collector = new graft.runtime.MetricsCollector(spark)
+    try {
+      graft.runtime.Metrics.observed(out, "extract_job_identity",
+          count(lit(1)).as("triples"),
+          coalesce(expr("bit_xor(xxhash64(subj, pred, obj, url, begin, end))"),
+            lit(0L)).as("hash"))
+        .write.mode("overwrite").parquet(outPath)
+      val m = collector.await("extract_job_identity", timeoutMs = 60000L)
+        .getOrElse(sys.error("extract_job identity metrics were not delivered"))
+      Result(m("triples").asInstanceOf[Long], m("hash").asInstanceOf[Long])
+    } finally collector.close()
   }
 }

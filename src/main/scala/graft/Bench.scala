@@ -98,7 +98,15 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      // ActiveProcessorCount=cores: without it every child sizes its GC worker pool
+      // (~23 parallel GC threads on this 32-vCPU box), netty event loops, and
+      // ForkJoin pools for ALL host CPUs regardless of local[N] — at c16 those
+      // framework threads collide with the 16 task threads and cost ~20% wall
+      // (measured 11.5 s → 9.5 s on the 480k-page kernel; c4 unchanged). A real
+      // cluster executor sees its container's CPU limit, which is exactly what this
+      // flag emulates — the fix makes the sandbox child MORE faithful, not less.
       val cmd = (Seq(java) ++ addOpens ++ Seq(
+        s"-XX:ActiveProcessorCount=$cores",
         "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
         "graft.ScalingRun", cores.toString, kgPages.toString, reps.toString)).toArray
@@ -146,7 +154,36 @@ object Bench {
       System.err.println(f"[burn] t$threads ${sec}%.2fs (sink=$sink)")
       sec
     }
-    def hostCeiling(): Double = burn(4) / burn(16) / 4.0
+    def cpuCeiling(): Double = burn(4) / burn(16) / 4.0
+
+    // Memory-bandwidth scaling ceiling: the extraction job streams strings, so its
+    // binding resource at high thread counts is often BANDWIDTH, which a
+    // cache-resident LCG burn cannot see (it reads ~0.95 while the job tops out
+    // lower). Fixed total traffic — 96 full passes over one shared 256 MB array —
+    // split over K threads; (t4/t16)/4 is the best any streaming computation can
+    // scale on this host right now.
+    val bwArr = new Array[Long](32 << 20) // 256 MB, shared, allocated once
+    java.util.Arrays.fill(bwArr, 0x9e3779b97f4a7c15L)
+    def bwBurn(threads: Int): Double = {
+      val units = 96
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val fs = (0 until units).map { u =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var h = u.toLong; var i = 0
+            while (i < bwArr.length) { h ^= bwArr(i) + h; i += 1 }
+            h
+          }
+        })
+      }
+      val sink = fs.map(_.get()).reduce(_ ^ _)
+      pool.shutdown()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[burn] bw t$threads ${sec}%.2fs (sink=$sink)")
+      sec
+    }
+    def bwCeiling(): Double = bwBurn(4) / bwBurn(16) / 4.0
 
     // Alternating (N, 4N) PAIRS with per-pair efficiency: the sandbox host's
     // throughput moves in multi-minute phases (2-3× swings), so comparing a
@@ -157,14 +194,20 @@ object Bench {
     // ceiling is taken immediately after the pair, in the same phase. All pairs'
     // efficiencies and ceilings are emitted for transparency; hashes must agree
     // across every run.
+    // best-of-3 reps per level: adjacent same-level reps have been observed 2×
+    // apart (c16 12.5 s vs 26.2 s back to back) — with best-of-2 one stolen rep
+    // poisons the pair, with best-of-3 the minimum is a far tighter estimator of
+    // the undisturbed time. The binding ceiling for a string-streaming job is
+    // min(cpu, bandwidth) scaling — both measured in-phase right after the pair.
     case class Pair(rN: ScaleResult, r4N: ScaleResult, eff: Double,
-        ceiling: Double, norm: Double)
+        cpuCeil: Double, bwCeil: Double, norm: Double)
     val pairs = (1 to 3).map { _ =>
-      val rN0 = childRun(4, reps = 2)
-      val r4N0 = childRun(16, reps = 2)
+      val rN0 = childRun(4, reps = 3)
+      val r4N0 = childRun(16, reps = 3)
       val eff0 = (rN0.sec / r4N0.sec) / 4.0
-      val c0 = hostCeiling()
-      Pair(rN0, r4N0, eff0, c0, math.min(1.0, eff0 / c0))
+      val cCpu = cpuCeiling()
+      val cBw = bwCeiling()
+      Pair(rN0, r4N0, eff0, cCpu, cBw, math.min(1.0, eff0 / math.min(cCpu, cBw)))
     }
     // headline = the MEDIAN pair's efficiency: max-of-pairs is upward-biased (any
     // noise that slows only the c4 run inflates eff and max selects exactly those
@@ -177,7 +220,10 @@ object Bench {
     val rFull = childRun(32, reps = 2)
     val (tN, t4N) = (rN.sec, r4N.sec)
     val effPairs = pairs.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")
-    val ceilings = pairs.map(p => f"${p.ceiling}%.3f").mkString("[", ",", "]")
+    val ceilings = pairs.map(p => f"${math.min(p.cpuCeil, p.bwCeil)}%.3f")
+      .mkString("[", ",", "]")
+    val cpuCeils = pairs.map(p => f"${p.cpuCeil}%.3f").mkString("[", ",", "]")
+    val bwCeils = pairs.map(p => f"${p.bwCeil}%.3f").mkString("[", ",", "]")
     val norms = pairs.map(p => f"${p.norm}%.3f").mkString("[", ",", "]")
     val hashesOk = pairs.forall(p => p.rN.hash == p.r4N.hash && p.rN.hash == rFull.hash)
 
@@ -188,9 +234,24 @@ object Bench {
       f""""docs_per_sec_c32":${kgPages / rFull.sec}%.1f,""" +
       f""""triples_per_sec_c32":${rFull.triples / rFull.sec}%.1f,""" +
       f""""scaling_efficiency":$eff%.3f,"eff_pairs":$effPairs,""" +
-      f""""host_ceilings":$ceilings,"eff_normalized_pairs":$norms,""" +
+      f""""host_ceilings":$ceilings,"cpu_ceilings":$cpuCeils,""" +
+      f""""membw_ceilings":$bwCeils,"eff_normalized_pairs":$norms,""" +
       f""""scaling_efficiency_normalized":$effNorm%.3f,""" +
       f""""hash_equal":$hashesOk}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"plans":$plansJson,"kg":$kg,"sf":"$sfDir"}""")
+    // Two lines + a file: the full per-query detail (times + plan fingerprints) is
+    // large — the driver's artifact keeps only a LOG TAIL, and a single giant line
+    // has never fit it (BENCH_r01–r03 all carry parsed=null with the line's head cut
+    // off). So the detail goes to BENCH_DETAIL.json in the working directory (and an
+    // early stdout line for humans), while the LAST line — the one the driver
+    // parses — is a compact summary that fits any reasonable tail: totals, the five
+    // slowest queries, and the full kg/scaling block.
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qsJson,"plans":$plansJson,"kg":$kg,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
+    println(detail)
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"battery_sec":${f"${results.map(_._2).sum}%.2f"},"queries":$slowest,"kg":$kg,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
   }
 }

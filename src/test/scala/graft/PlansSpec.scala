@@ -163,4 +163,23 @@ class PlansSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("SortMergeJoin"), s"surprisal scoring grew a sort-merge join:\n$p")
     assert(!p.contains("Window"), s"surprisal grew a window:\n$p")
   }
+
+  test("q62: BPE counting stays on the native kernel — zero shuffle, opaque table") {
+    val p = formatted("q62_bpe_tokens")
+    assert(p.contains("bpe_count"),
+      s"BPE counting fell off the native codegen kernel:\n$p")
+    assert(!p.contains("Exchange"),
+      s"BPE counting grew a shuffle (it is a pure narrow map):\n$p")
+    // merge table must ride as ONE reference object, never a plan literal
+    assert(df("q62_bpe_tokens").queryExecution.executedPlan.toString
+      .contains("MergeRanks(n=60)"), "merge table not opaque in the plan")
+  }
+
+  test("q42/streaming flag: contamination probes carry no vocabulary-sized literal") {
+    // the relational operator (q42) broadcast-joins; the per-row flag is guarded in
+    // FunctionsSpec — here pin that the q42 plan keeps the broadcast shape
+    val p = formatted("q42_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontamination lost the broadcast eval side:\n$p")
+  }
 }

@@ -721,6 +721,21 @@ object SparkEntry {
           id, "image", graft.multimodal.Multimodal.syntheticPng(id, 16, 16),
           16, 16, 0L))
       graft.multimodal.Multimodal.imageGridFeatures(media, grid = 4)
+    }),
+
+    // ---- REAL audio decode: WAV/PCM round trip → integer-exact frame energies ----
+    // Payloads are hand-written RIFF containers whose 16-bit samples are the closed
+    // form ((31·id + 7i) mod 65536) − 32768; the engine DECODES them with the real
+    // JDK codec (javax.sound.sampled), the oracle recomputes frame energies from the
+    // formula alone — codec correctness is exactly what the comparison proves.
+    "q64_audio_features" -> ((s, d) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.multimodal.Multimodal.MediaRow(
+          id, "audio", graft.multimodal.Multimodal.syntheticWav(id, 2048),
+          0, 0, 256L))
+      graft.multimodal.Multimodal.audioFrameFeatures(media, grid = 8)
     })
   )
 
@@ -1772,6 +1787,19 @@ object SparkEntry {
                  CAST((y * 4 // 16) * 4 + (x * 4 // 16) AS BIGINT) AS cell,
                  CAST(10000 * sum(luma) // (255 * count(*)) AS BIGINT) AS mean_bp
           FROM px
-          GROUP BY media_id, (y * 4 // 16) * 4 + (x * 4 // 16)"""
+          GROUP BY media_id, (y * 4 // 16) * 4 + (x * 4 // 16)""",
+
+    // Twin of Multimodal.frameEnergy over the synthetic PCM stream: sample i is the
+    // closed form ((31·id + 7i) mod 65536) − 32768, frame = i*8 DIV 2048, energy =
+    // Σ|s| DIV n. The oracle never touches the WAV bytes — agreement proves the
+    // engine's RIFF write → javax.sound decode round trip is sample-exact.
+    "q64_audio_features" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          sm AS (SELECT media_id, r.range AS i,
+                        abs((31 * media_id + 7 * r.range) % 65536 - 32768) AS a
+                 FROM ids, range(0, 2048) r)
+          SELECT media_id, CAST(i * 8 // 2048 AS BIGINT) AS frame,
+                 CAST(sum(a) // count(*) AS BIGINT) AS mean_abs
+          FROM sm GROUP BY media_id, i * 8 // 2048"""
   )
 }

@@ -157,6 +157,105 @@ object Multimodal {
       }.toDF("media_id", "cell", "mean_bp")
   }
 
+  /** Real audio decode via the JDK's javax.sound.sampled (WAV/PCM support ships in
+    * every JDK, headless-safe). Returns the signed 16-bit mono sample stream; None
+    * for anything that is not decodable 16-bit PCM — callers fall back to the stub. */
+  def decodeWavPcm16(payload: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          out(i) = (if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                    else (hi << 8) | lo).toShort
+          i += 1
+        }
+        Some(out)
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /**
+   * Frame-energy grid over a PCM sample stream, integer-exact: sample i → frame
+   * `i*grid DIV n`, each frame's value is `Σ|s| DIV nSamples` (mean absolute
+   * amplitude, floor) — the audio analog of [[lumaGridBp]], exactly replayable by an
+   * oracle that knows the sample formula.
+   */
+  def frameEnergy(samples: Array[Short], grid: Int): Array[Long] = {
+    val n = samples.length
+    val sums = new Array[Long](grid)
+    val counts = new Array[Long](grid)
+    var i = 0
+    while (i < n) {
+      val f = i.toLong * grid / n
+      sums(f.toInt) += math.abs(samples(i).toLong)
+      counts(f.toInt) += 1L
+      i += 1
+    }
+    Array.tabulate(grid)(f => if (counts(f) == 0L) 0L else sums(f) / counts(f))
+  }
+
+  /**
+   * Deterministic synthetic WAV: `n` signed 16-bit little-endian mono PCM samples at
+   * 8 kHz whose sample i is the CLOSED FORM `((31·id + 7i) mod 65536) − 32768` —
+   * a hand-written RIFF container (44-byte canonical header), so q64's round trip
+   * (independent writer → javax.sound decode → frame energy) exercises the real JDK
+   * codec while the oracle recomputes the energies from the formula alone.
+   */
+  def syntheticWav(id: Long, n: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((31L * id + 7L * i) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /**
+   * Oracle-checkable audio feature stage: decode each WAV payload with the REAL JDK
+   * codec and emit one row per energy frame, `(media_id, frame, mean_abs)` — all
+   * bigint. Undecodable payloads emit nothing (stub path in [[extractFeatures]]).
+   */
+  def audioFrameFeatures(media: Dataset[MediaRow], grid: Int = 8)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.repartition(col("media_id"))
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          if (m.kind != "audio") Iterator.empty
+          else decodeWavPcm16(m.payload).iterator.flatMap { samples =>
+            frameEnergy(samples, grid).iterator.zipWithIndex.map { case (e, f) =>
+              (m.media_id, f.toLong, e)
+            }
+          }
+        }
+      }.toDF("media_id", "frame", "mean_abs")
+  }
+
   private def checksum64(b: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
@@ -181,13 +280,18 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here (amortized, batch-shaped)
         it.map { m =>
-          // images decode for real (JDK ImageIO) when dim is a square grid; any
-          // undecodable payload — and audio/video, whose codecs this container
-          // lacks — takes the deterministic stub
+          // images decode for real (JDK ImageIO) when dim is a square grid and
+          // audio decodes for real (JDK javax.sound WAV/PCM); any undecodable
+          // payload — and video, whose codecs no JDK ships — takes the
+          // deterministic stub
           val feats =
             if (m.kind == "image" && grid * grid == dim)
               decodeImage(m.payload)
                 .map(img => lumaGridBp(img, grid).map(_.toFloat / 10000f))
+                .getOrElse(stubDecode(m.payload, dim))
+            else if (m.kind == "audio")
+              decodeWavPcm16(m.payload)
+                .map(s => frameEnergy(s, dim).map(_.toFloat / 32768f))
                 .getOrElse(stubDecode(m.payload, dim))
             else stubDecode(m.payload, dim)
           MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,

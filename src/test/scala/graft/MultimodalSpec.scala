@@ -43,14 +43,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(Multimodal.lumaGridBp(img, 2).toSeq == Seq(1372L, 2470L, 3411L, 4509L))
   }
 
+  test("synthetic WAV round trip is sample-exact; frameEnergy matches closed form") {
+    val id = 9L
+    val n = 2048
+    val samples = Multimodal.decodeWavPcm16(Multimodal.syntheticWav(id, n)).get
+    assert(samples.length == n)
+    for (i <- Seq(0, 1, 777, n - 1)) {
+      val v = (((31L * id + 7L * i) % 65536L) - 32768L).toShort
+      assert(samples(i) == v, s"sample $i")
+    }
+    // frame energies against a from-scratch reimplementation
+    val sums = Array.fill(8)(0L)
+    val cnt = Array.fill(8)(0L)
+    for (i <- 0 until n) {
+      val f = i * 8 / n
+      sums(f) += math.abs((((31L * id + 7L * i) % 65536L) - 32768L))
+      cnt(f) += 1L
+    }
+    val expected = Array.tabulate(8)(f => sums(f) / cnt(f))
+    assert(Multimodal.frameEnergy(samples, 8).toSeq == expected.toSeq)
+    // non-WAV bytes decode to None, never throw
+    assert(Multimodal.decodeWavPcm16("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("extractFeatures: real decode for images, stub for non-images and bad bytes") {
     import spark.implicits._
     val png = Multimodal.syntheticPng(7L, 16, 16)
     val textBytes = "not an image at all".getBytes("UTF-8")
+    val wav = Multimodal.syntheticWav(5L, 1024)
     val media = spark.createDataset(Seq(
       Multimodal.MediaRow(1L, "image", png, 16, 16, 0L),
       Multimodal.MediaRow(2L, "image", textBytes, 0, 0, 0L),   // undecodable → stub
-      Multimodal.MediaRow(3L, "audio", png, 0, 0, 1000L)))     // wrong kind → stub
+      Multimodal.MediaRow(3L, "audio", png, 0, 0, 1000L),      // not a WAV → stub
+      Multimodal.MediaRow(4L, "audio", wav, 0, 0, 128L)))      // real PCM decode
     val out = Multimodal.extractFeatures(media, dim = 16)
       .collect().map(f => f.media_id -> f).toMap
     val gridF = Multimodal.lumaGridBp(Multimodal.decodeImage(png).get, 4)
@@ -58,6 +83,9 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(out(1L).features.toSeq == gridF.toSeq)
     assert(out(2L).features.toSeq == Multimodal.stubDecode(textBytes, 16).toSeq)
     assert(out(3L).features.toSeq == Multimodal.stubDecode(png, 16).toSeq)
+    val energyF = Multimodal.frameEnergy(
+      Multimodal.decodeWavPcm16(wav).get, 16).map(_.toFloat / 32768f)
+    assert(out(4L).features.toSeq == energyF.toSeq)
     assert(out.values.forall(_.n_bytes > 0))
   }
 }

@@ -288,4 +288,42 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     // idempotence: an already-packed store rewrites nothing
     assert(Materialize.compact(path, targetFileBytes = 1L << 30)(spark).count() === 0L)
   }
+
+  test("SnapshotStore: optimistic commits never lose updates; snapshot isolation") {
+    import spark.implicits._
+    import graft.sink.SnapshotStore
+    val storeRoot = tmpDir() + "/snapstore"
+    val store = new SnapshotStore(storeRoot)
+    // 8 concurrent appenders race on the manifest chain — every commit must land at
+    // a distinct version and the final snapshot must contain ALL rows (the
+    // lost-update anomaly optimistic concurrency exists to close)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            store.commit(Seq((w.toLong, s"writer$w")).toDF("id", "who"))
+        })
+      }
+      val got = futures.map(_.get()).sorted
+      assert(got == (1L to 8L), s"versions not dense/distinct: $got")
+    } finally pool.shutdown()
+    assert(store.read()(spark).count() === 8L)
+    // the version chain is strictly growing: snapshot v contains exactly v dirs
+    store.versions.foreach(v => assert(store.snapshot(v).size === v.toInt))
+    // time travel: any historical snapshot reads exactly its own row count
+    assert(store.read(Some(3L))(spark).count() === 3L)
+    // snapshot isolation: a staged-but-uncommitted writer is invisible to readers
+    val staged = Seq((99L, "crashed")).toDF("id", "who")
+    staged.write.parquet(s"$storeRoot/data/crashed-writer")
+    assert(store.read()(spark).count() === 8L, "uncommitted staging leaked to readers")
+    // vacuum removes exactly the orphan; committed data is untouched
+    assert(store.vacuum() === Seq("crashed-writer"))
+    assert(store.read()(spark).count() === 8L)
+    // overwrite commit replaces the table at a new version
+    val v9 = store.commit(Seq((100L, "rebuild")).toDF("id", "who"), append = false)
+    assert(v9 === 9L && store.read()(spark).count() === 1L)
+    // and time travel still reaches the pre-overwrite snapshot
+    assert(store.read(Some(8L))(spark).count() === 8L)
+  }
 }

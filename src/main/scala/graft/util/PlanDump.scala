@@ -88,7 +88,16 @@ object PlanDump {
     "q60_ntriples" ->
       """N-Triples export: ONE WholeStageCodegen span over the scan — the whole escape
         |chain is codegen'd replace columns, ZERO Exchange in the plan (the export
-        |rides the store scan at full speed).""")
+        |rides the store scan at full speed).""",
+    "q62_bpe_tokens" ->
+      """Trained-BPE counting: the native `bpe_count` kernel inside one
+        |WholeStageCodegen span over the scan — ZERO Exchange (a pure narrow map),
+        |and the 60-entry merge table rides as ONE opaque reference object
+        |(`MergeRanks(n=60)`), never a plan literal.""",
+    "q61_pos_labels" ->
+      """POS labels over the real annotate path: scan → object flatMap (the
+        |tokenizer/tagger kernel) — a single narrow stage, ZERO Exchange; at 100 TB
+        |the tag pass rides the ingest scan like every other per-row annotator.""")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -706,7 +706,7 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.text.Bpe.countColumn(col("text"), graft.text.Bpe.DefaultMerges)
           .as("n_bpe"),
-        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws"))),
+        TextAnalysis.wsTokenCount(col("text")).as("n_ws"))),
 
     // ---- REAL image decode: PNG round trip → integer-exact luminance grid ----
     // Payloads are real PNGs (JDK ImageIO writer) whose pixels are the closed form

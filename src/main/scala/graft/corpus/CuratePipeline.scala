@@ -57,8 +57,7 @@ object CuratePipeline {
     * AND the repetition stats (native kernel), then filters. Zero shuffle. */
   def qualityGate(docs: DataFrame, cfg: Config): DataFrame =
     docs
-      .withColumn("n_toks",
-        size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+      .withColumn("n_toks", TextAnalysis.wsTokenCount(col("text")))
       .withColumn("__r",
         call_function("repetition_stats", col("text"), lit(cfg.repetitionN)))
       .withColumn("dup_bp",
@@ -111,8 +110,7 @@ object CuratePipeline {
     // stages (quota ranking and budget packing) and carried as the output audit
     // column — the two stages must never prioritize documents by different token
     // definitions, and the meaning of n_toks must not depend on which knobs are on.
-    val withToks = docs.withColumn("n_toks",
-      size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+    val withToks = docs.withColumn("n_toks", TextAnalysis.wsTokenCount(col("text")))
     val sampled = Curation.stratifiedSample(withToks, "doc_id", "lang",
       cfg.sampleRatesBp, cfg.sampleDefaultBp)
     val capped =

@@ -122,7 +122,7 @@ object Curation {
     // canonical tokenizer definition — never a re-spelled copy of that expression.
     val withToks =
       if (df.columns.contains("n_toks")) df
-      else df.withColumn("n_toks", size(TextAnalysis.wsTokens(col(textCol))).cast("long"))
+      else df.withColumn("n_toks", TextAnalysis.wsTokenCount(col(textCol)))
     withToks
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .filter(col("cum_toks") <= budget)

@@ -22,6 +22,20 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** `size(wsTokens(text))` without the lambda: `filter`'s higher-order function is
+    * CodegenFallback and drags its whole projection out of whole-stage codegen, so
+    * count-only consumers use this equivalent instead — after trim, `split` on
+    * `\s+` can produce no empty tokens except the single "" of an all-whitespace
+    * input, which the CASE folds to 0. Equality with the lambda form is
+    * property-pinned in TextOpsSpec. */
+  def wsTokenCount(text: Column): Column = {
+    // regexp trim, NOT trim(): Spark's trim strips ONLY spaces, so a tab/newline at
+    // the string edge would survive and split() would emit a phantom empty token
+    // (caught by the TextOpsSpec fuzz property)
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+"))).cast("long")
+  }
+
   /** BPE-ish subword tokens: runs of alphanumerics or single non-space punctuation
     * marks — the classic pre-tokenizer regex (RE2-safe: no lookarounds). */
   def bpeTokens(text: Column): Column =

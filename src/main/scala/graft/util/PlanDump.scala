@@ -109,13 +109,21 @@ object PlanDump {
     sb.append("changes: `sbt \"runMain graft.util.PlanDump\"`). Each section: what the plan\n")
     sb.append("MUST show for the operator to be scale-correct, then the actual formatted plan.\n")
 
+    // Plan strings can embed raw control bytes (e.g. the N-Triples escape chain's
+    // \x00–\x1F replace literals) — rendered as \xNN so PLANS.md stays a text file
+    // (git diffs it; a single NUL flips it to "binary").
+    def sanitize(s: String): String = s.flatMap {
+      case c if c == '\n' || c == '\t' => c.toString
+      case c if c < 0x20 => f"\\x${c.toInt}%02x"
+      case c => c.toString
+    }
     picks.foreach { case (name, expectation) =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n")
       sb.append(expectation.stripMargin).append("\n\n```\n")
-      sb.append(formatted.trim).append("\n```\n")
+      sb.append(sanitize(formatted.trim)).append("\n```\n")
     }
 
     Files.writeString(Paths.get(outFile), sb.toString)

@@ -170,6 +170,11 @@ class PlansSpec extends AnyFunSuite with SparkTest {
       s"BPE counting fell off the native codegen kernel:\n$p")
     assert(!p.contains("Exchange"),
       s"BPE counting grew a shuffle (it is a pure narrow map):\n$p")
+    // the whole projection must stay INSIDE whole-stage codegen: a lambda-based
+    // column (higher-order filter = CodegenFallback) here would silently interpret
+    // the entire scan-side stage — that is why n_ws uses wsTokenCount
+    assert(p.contains("* Project"),
+      s"q62 projection dropped out of whole-stage codegen:\n$p")
     // merge table must ride as ONE reference object, never a plan literal
     assert(df("q62_bpe_tokens").queryExecution.executedPlan.toString
       .contains("MergeRanks(n=60)"), "merge table not opaque in the plan")

@@ -117,4 +117,24 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out(1L) == ((1L, 2L)))
   }
+
+  test("wsTokenCount == size(wsTokens) on edge shapes and seeded random ws-strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    val edges = Seq("", " ", "\t\n  ", "a", " a ", "a b", "a  b\tc\nd",
+      "  lead", "trail  ", "\n\n", "xy") // vertical tab is \s too
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab \t\n  "
+    val fuzz = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = (edges ++ fuzz).toDF("text")
+      .select(col("text"), graft.text.TextAnalysis.wsTokenCount(col("text")).as("fast"),
+        size(graft.text.TextAnalysis.wsTokens(col("text"))).cast("long").as("lambda"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"count twins diverged on ${r.getString(0).replace("\n", "\\n")}: " +
+          s"${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+  }
 }

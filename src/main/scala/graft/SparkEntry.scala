@@ -212,7 +212,7 @@ object SparkEntry {
     // ---- text: token counting (whitespace + BPE-ish regex) ----
     "q14_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
         size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))),
 
     // ---- text: quality scoring ----

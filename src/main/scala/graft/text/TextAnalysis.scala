@@ -22,12 +22,16 @@ object TextAnalysis {
   def wsTokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
-  /** `size(wsTokens(text))` without the lambda: `filter`'s higher-order function is
-    * CodegenFallback and drags its whole projection out of whole-stage codegen, so
-    * count-only consumers use this equivalent instead — after trim, `split` on
-    * `\s+` can produce no empty tokens except the single "" of an all-whitespace
-    * input, which the CASE folds to 0. Equality with the lambda form is
-    * property-pinned in TextOpsSpec. */
+  /** wsTokens WITHOUT the empty-token filter lambda (regexp edge-trim + split):
+    * identical except an all-whitespace/empty input yields `[""]` instead of `[]`.
+    * Explode sites use this and drop the "" row with a codegen'd length filter —
+    * `explode(wsTokens(...))` would interpret the whole feeding projection (the
+    * higher-order `filter` is CodegenFallback). */
+  def wsTokensRaw(text: Column): Column =
+    split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
+
+  /** `size(wsTokens(text))` without the lambda, for count-only consumers; equality
+    * with the lambda form is property-pinned in TextOpsSpec. */
   def wsTokenCount(text: Column): Column = {
     // regexp trim, NOT trim(): Spark's trim strips ONLY spaces, so a tab/newline at
     // the string edge would survive and split() would emit a phantom empty token
@@ -56,7 +60,8 @@ object TextAnalysis {
    * total order, so no rank column is materialized.
    */
   def vocabulary(df: DataFrame, textCol: String, minCount: Long, topN: Int): DataFrame =
-    df.select(explode(wsTokens(lower(col(textCol)))).as("token"))
+    df.select(explode(wsTokensRaw(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .orderBy(desc("n"), asc("token"))
@@ -214,7 +219,8 @@ object TextAnalysis {
     val markerDf = langMarkers.toSeq.sortBy(_._1)
       .flatMap { case (lg, ws) => ws.map(w => (w, lg)) }.toDF("tok", "mlang")
     val toks = df.select(col(idCol),
-      explode(transform(wsTokens(col(textCol)), lower(_))).as("tok"))
+        explode(wsTokensRaw(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
     val scores = toks.join(broadcast(markerDf), Seq("tok"))
       .groupBy(col(idCol), col("mlang")).agg(count(lit(1)).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -257,7 +263,8 @@ object TextAnalysis {
   def surprisalModel(ref: DataFrame, textCol: String = "text",
       topV: Int = 50000): (DataFrame, Long, Long) = {
     val counts = ref
-      .select(explode(wsTokens(lower(col(textCol)))).as("token"))
+      .select(explode(wsTokensRaw(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum("cnt"), count(lit(1))).head()
     val t = Option(totals.get(0)).fold(0L)(_.asInstanceOf[Long])
@@ -270,7 +277,9 @@ object TextAnalysis {
     val denom = totalTokens + vocabSize + 1L
     val surp = length(bin(expr(s"$denom DIV (coalesce(cnt, 0L) + 1L)"))) - 1L
     val scored = df
-      .select(col(idCol).as("doc_id"), explode(wsTokens(lower(col(textCol)))).as("token"))
+      .select(col(idCol).as("doc_id"),
+        explode(wsTokensRaw(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
       .join(broadcast(model), Seq("token"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -61,22 +61,27 @@ object StreamExtract {
       withChunks = index.needsSyntax || relIndex.needsSyntax)
     val sents = Sentences.group(url, annots.toVector)
 
+    // ONE grid per sentence, shared by the relation and mention passes (building
+    // the per-column label streams is the page kernel's single largest allocation —
+    // building them twice cost ~a third of the whole extractPage budget); all-caps
+    // sentences are skipped for both passes, as before
+    val grids = sents.flatMap { s =>
+      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
+      if (PatternMatcher.isAllCapsSentence(grid)) None else Some((s, grid))
+    }
+
     // two-slot relation patterns: subject bound by the match, emitted directly
     // (local mirror of Extract.relationTriples)
-    val relTriples = sents.flatMap { s =>
-      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
-      if (PatternMatcher.isAllCapsSentence(grid)) Vector.empty
-      else PatternMatcher.matchAll(grid, relIndex, prm)
+    val relTriples = grids.flatMap { case (s, grid) =>
+      PatternMatcher.matchAll(grid, relIndex, prm)
         .filter(_.subjBegin >= 0)
         .map(h => Triple(h.subjValue, h.pattern.annotType,
           PatternMatcher.trimTrailingPunct(h.value),
           s.url, h.targetBegin, h.targetEnd, h.pattern.profileId, h.pattern.score))
     }
 
-    val mentions = sents.flatMap { s =>
-      val grid = Grid.build(s.url, s.sentBegin, s.sentEnd, s.annots)
-      if (PatternMatcher.isAllCapsSentence(grid)) Vector.empty
-      else PatternMatcher.matchAll(grid, index, prm).map { h =>
+    val mentions = grids.flatMap { case (s, grid) =>
+      PatternMatcher.matchAll(grid, index, prm).map { h =>
         Mention(s.url, h.pattern.annotType, h.targetBegin, h.targetEnd,
           PatternMatcher.trimTrailingPunct(h.value), h.pattern.profileId,
           h.pattern.score)

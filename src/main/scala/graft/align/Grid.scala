@@ -60,8 +60,31 @@ object Grid {
   val Subject = ":subject"
 
   def label(annotType: String, feature: String, value: String): String =
-    ":" + annotType.toLowerCase + "|" + feature.toLowerCase + "|" +
-      value.toLowerCase.replace(' ', '-')
+    ":" + annotType.toLowerCase + "|" + feature.toLowerCase + "|" + labelValue(value)
+
+  /** `value.toLowerCase.replace(' ', '-')` with an allocation-free fast path for the
+    * overwhelmingly common case (pure lowercase-ASCII token values): byte-identical
+    * to the slow path — any char that is uppercase-ASCII, a space, or non-ASCII
+    * (locale-sensitive lowercasing) routes to the original expression. */
+  private def labelValue(value: String): String = {
+    var i = 0
+    val n = value.length
+    while (i < n) {
+      val c = value.charAt(i)
+      if (c >= 'A' && c <= 'Z' || c == ' ' || c >= 0x80)
+        return value.toLowerCase.replace(' ', '-')
+      i += 1
+    }
+    value
+  }
+
+  /** Precomputed token-feature label prefixes — [[label]]'s constant-argument half,
+    * hoisted out of the per-token hot loop in [[build]]. */
+  private val TokStringPfx = ":token|string|"
+  private val TokRootPfx = ":token|root|"
+  private val TokOrthPfx = ":token|orth|"
+  private val TokCategoryPfx = ":token|category|"
+  private val TokKindPfx = ":token|kind|"
 
   /**
    * Build the grid for one sentence from its annotations. Token annotations define the
@@ -106,12 +129,13 @@ object Grid {
         }
         lblB += l; spnB += span; offB += off
       }
-      // token feature tracks, most specific first
-      t.features.get("string").foreach(v => add(label("token", "string", v), ci, ci))
-      t.features.get("root").foreach(v => add(label("token", "root", v), ci, ci))
-      t.features.get("orth").foreach(v => add(label("token", "orth", v), ci, ci))
-      t.features.get("category").foreach(v => add(label("token", "category", v), ci, ci))
-      t.features.get("kind").foreach(v => add(label("token", "kind", v), ci, ci))
+      // token feature tracks, most specific first (prefixes precomputed — label()'s
+      // constant half would otherwise re-lowercase "token"/"string"/… per token)
+      t.features.get("string").foreach(v => add(TokStringPfx + labelValue(v), ci, ci))
+      t.features.get("root").foreach(v => add(TokRootPfx + labelValue(v), ci, ci))
+      t.features.get("orth").foreach(v => add(TokOrthPfx + labelValue(v), ci, ci))
+      t.features.get("category").foreach(v => add(TokCategoryPfx + labelValue(v), ci, ci))
+      t.features.get("kind").foreach(v => add(TokKindPfx + labelValue(v), ci, ci))
       otherRanges.foreach { case (a, lo, hi) =>
         if (lo <= ci && ci <= hi) {
           a.annotType match {

@@ -51,7 +51,16 @@ object PosTagger {
   def tag(kind: String, value: String): String = {
     if (kind == "number") return "cd"
     if (kind == "punctuation") return "punct"
-    val w = value.toLowerCase(java.util.Locale.ROOT)
+    // allocation-free for pure lowercase-ASCII tokens (the common case);
+    // byte-identical — any A–Z or non-ASCII char routes to the ROOT-locale lowering
+    var needsLower = false
+    var i = 0
+    while (i < value.length && !needsLower) {
+      val c = value.charAt(i)
+      if (c >= 'A' && c <= 'Z' || c >= 0x80) needsLower = true
+      i += 1
+    }
+    val w = if (needsLower) value.toLowerCase(java.util.Locale.ROOT) else value
     lexiconSets.foreach { case (t, set) => if (set(w)) return t }
     if (value.nonEmpty && value.charAt(0) >= 'A' && value.charAt(0) <= 'Z') return "nnp"
     Suffix.foreach { case (t, inc, exc, minLen) =>

@@ -44,12 +44,41 @@ object Tokenizer {
   }
 
   private def orth(s: String): String = {
-    val letters = s.filter(_.isLetter)
-    if (letters.isEmpty) "other"
-    else if (letters.forall(_.isUpper)) if (letters.length == 1) "upperInitial" else "allCaps"
-    else if (letters.forall(_.isLower)) "lowercase"
-    else if (letters.head.isUpper && letters.tail.forall(_.isLower)) "upperInitial"
+    // single pass, no intermediate strings (this runs once per word token of the
+    // whole corpus): classify the letter subsequence by first-letter case + counts
+    var nLetters = 0
+    var nUpper = 0
+    var nLower = 0
+    var firstUpper = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        if (nLetters == 0) firstUpper = Character.isUpperCase(c)
+        nLetters += 1
+        if (Character.isUpperCase(c)) nUpper += 1
+        else if (Character.isLowerCase(c)) nLower += 1
+      }
+      i += 1
+    }
+    if (nLetters == 0) "other"
+    else if (nUpper == nLetters) if (nLetters == 1) "upperInitial" else "allCaps"
+    else if (nLower == nLetters) "lowercase"
+    else if (firstUpper && nUpper == 1 && nLower == nLetters - 1) "upperInitial"
     else "mixedCaps"
+  }
+
+  /** `s.toLowerCase` with an allocation-free fast path for pure lowercase-ASCII
+    * input (the common case for web-corpus tokens); any uppercase-ASCII or
+    * non-ASCII char routes to the locale-correct slow path — byte-identical. */
+  private[nlp] def lowerAscii(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z' || c >= 0x80) return s.toLowerCase
+      i += 1
+    }
+    s
   }
 
   /** Sentence boundaries: [.!?]+ runs and newlines end a sentence. Returns (begin,end)
@@ -100,7 +129,7 @@ object Tokenizer {
       // pathological unbroken runs would otherwise bloat every downstream row
       val v = safeValue(text, t.begin, t.end)
       val feats = mutable.Map[String, String](
-        "string" -> v, "root" -> v.toLowerCase, "kind" -> t.kind,
+        "string" -> v, "root" -> lowerAscii(v), "kind" -> t.kind,
         "length" -> (t.end - t.begin).toString,
         // POS category on every token (reference: GateBatch.java:604-647 serializes
         // `category` in each Token feature map) — the :token|category|* label track

@@ -39,13 +39,20 @@ final class SnapshotStore(root: String) {
 
   private def manifestPath(v: Long): Path = manifestsDir.resolve(f"v$v%06d.json")
 
+  /** Directory listing with the stream CLOSED (Files.list leaks a file handle per
+    * call otherwise — a long-lived driver polling latestVersion would run out). */
+  private def ls(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
   /** Committed versions, ascending (empty for a fresh store). */
   def versions: Seq[Long] =
-    Files.list(manifestsDir).iterator().asScala
-      .map(_.getFileName.toString)
+    ls(manifestsDir)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong
-      }.toSeq.sorted
+      }.sorted
 
   def latestVersion: Option[Long] = versions.lastOption
 
@@ -102,11 +109,12 @@ final class SnapshotStore(root: String) {
     * formats age-gate this; the test store vacuums everything unreferenced. */
   def vacuum(): Seq[String] = {
     val referenced = versions.flatMap(snapshot).toSet
-    val all = Files.list(dataDir).iterator().asScala.map(_.getFileName.toString).toSeq
-    val orphans = all.filterNot(referenced)
+    val orphans = ls(dataDir).filterNot(referenced)
     orphans.foreach { t =>
       val dir = dataDir.resolve(t)
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
     orphans
   }

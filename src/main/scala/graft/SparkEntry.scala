@@ -1751,9 +1751,11 @@ object SparkEntry {
       s"""WITH RECURSIVE
           docs AS (SELECT doc_id, $toksLowerSql AS tk FROM documents),
           words AS (SELECT DISTINCT unnest(tk) AS w FROM docs),
+          -- megatoken guard twin (Bpe.MaxWordLen): overlong words never merge
+          short AS (SELECT w FROM words WHERE len(w) <= ${graft.text.Bpe.MaxWordLen}),
           seg AS (
             SELECT w, list_transform(range(1, len(w)+1), i -> w[i:i]) AS syms
-            FROM words
+            FROM short
             UNION ALL
             SELECT w, syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
                       || syms[best[2]+2:] AS syms
@@ -1765,7 +1767,10 @@ object SparkEntry {
                             i]), 'min') AS best
                   FROM seg WHERE len(syms) > 1)
             WHERE best[1] < 1000000),
-          wn AS (SELECT w, CAST(min(len(syms)) AS BIGINT) AS n FROM seg GROUP BY w),
+          wn AS (SELECT w, CAST(min(len(syms)) AS BIGINT) AS n FROM seg GROUP BY w
+                 UNION ALL
+                 SELECT w, CAST(len(w) AS BIGINT) AS n FROM words
+                 WHERE len(w) > ${graft.text.Bpe.MaxWordLen}),
           expl AS (SELECT doc_id, unnest(tk) AS w FROM docs),
           sums AS (SELECT e.doc_id, CAST(sum(wn.n) AS BIGINT) AS n_bpe
                    FROM expl e JOIN wn USING (w) GROUP BY e.doc_id)

@@ -84,6 +84,10 @@ object BpeCount {
 
   private def countWord(ranks: java.util.HashMap[String, Integer], w: String): Int = {
     val n = w.length
+    // megatoken guard (graft.text.Bpe.MaxWordLen): the greedy loop is O(len²), so
+    // overlong unbroken tokens count as their char length — deterministic, mirrored
+    // by the q62 oracle, and an over-estimate (the safe direction for budgets)
+    if (n > graft.text.Bpe.MaxWordLen) return n
     if (n <= 1) return n
     val syms = new java.util.ArrayList[String](n)
     var i = 0

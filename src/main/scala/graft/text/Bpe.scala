@@ -67,9 +67,19 @@ object Bpe {
     merges.result()
   }
 
+  /** Words longer than this never merge — they count as their character length.
+    * The greedy loop is O(len²) per word, so an unbroken megatoken (a 10k-char URL
+    * in web text) would otherwise cost ~10⁸ rank probes; real tokenizers cap the
+    * same way. NOT a silent cap: the definition is deterministic, documented, and
+    * replayed verbatim by the q62 oracle (char count only ever OVER-estimates the
+    * subword count, the safe direction for budget packing). */
+  val MaxWordLen = 200
+
   /** Greedy application for one word: repeatedly merge the leftmost occurrence of
-    * the lowest-rank adjacent pair. Driver/test-side twin of the executor kernel. */
+    * the lowest-rank adjacent pair. Driver/test-side twin of the executor kernel.
+    * Words beyond [[MaxWordLen]] stay unmerged (one symbol per char). */
   def segment(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    if (word.length > MaxWordLen) return word.map(_.toString).toVector
     val ranks = merges.zipWithIndex.toMap
     var syms = word.map(_.toString).toVector
     var done = false

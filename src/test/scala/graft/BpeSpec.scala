@@ -41,6 +41,10 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     assert(Bpe.segment("hashjoin", Bpe.DefaultMerges) == Vector("hash", "join"))
     // untrained characters stay atomic
     assert(Bpe.segment("zzz", Bpe.DefaultMerges) == Vector("z", "z", "z"))
+    // megatoken guard: words beyond MaxWordLen never merge (count == char length)
+    val mega = "join" * 100 // 400 chars of otherwise-mergeable material
+    assert(mega.length > Bpe.MaxWordLen)
+    assert(Bpe.segment(mega, Bpe.DefaultMerges).length == mega.length)
   }
 
   test("bpe_count kernel == driver-side segment; CODEGEN_ONLY; opaque plan holder") {

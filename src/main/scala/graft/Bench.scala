@@ -35,9 +35,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Corpus size for the scaling run: large enough that per-task compute dominates
     // fixed job/stage overhead (at 6k pages the job is overhead-bound and efficiency
-    // collapses to ~0.2 regardless of the code; at ~16k docs/s/8-cores, 480k pages
-    // gives a ~30s local[8] window — comfortably measurement-dominated).
-    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "480000").toInt
+    // collapses to ~0.2 regardless of the code). Round-4's kernel trims made the
+    // page kernel 2.7× faster single-threaded, so the page count scales up with it
+    // (the protocol's invariant is the WINDOW length, not the page count): 768k
+    // pages ≈ a 40s c4 / 13s c16 window at post-trim throughput — the same
+    // measurement-dominated shape 480k gave the slower kernel.
+    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "768000").toInt
 
     // ---- phase 1: operator battery (skipped in scaling-only mode) ----
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")

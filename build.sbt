@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON. Two sbt
+// behaviors break that: forked output is logged with an "[info] " prefix
+// (LoggedOutput), and sbt appends a "[success] Total time: ..." line after
+// the run. Emit forked stdout raw and suppress the success banner so the
+// bench's final JSON line is the literal last line of the log.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,6 +63,15 @@ final case class BpeCount(child: Expression, merges: MergeRanks)
 
 object BpeCount {
 
+  /** The engine's ONE whitespace predicate: the Java-regex `\s` ASCII class
+    * `[ \t\n\x0B\f\r]` — exactly what Spark's `split(_, "\\s+")` (wsTokenCount /
+    * n_ws) matches, so n_bpe and n_ws agree on which words exist for ANY corpus.
+    * Deliberately NOT `Character.isWhitespace` (wider: –, U+2028…) and
+    * NOT Unicode \s (U+00A0 etc.). Residual known divergence: DuckDB's RE2 `\s`
+    * omits \x0B — shared by every toksSql-based oracle and only observable on
+    * corpora containing vertical tabs (none of the fixtures do; see FIXTURES.md). */
+  @inline def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+
   /** Executor-side kernel, called from both interpreted eval and generated code. */
   def run(mr: MergeRanks, text: UTF8String): Long = {
     val s = text.toString
@@ -70,10 +79,10 @@ object BpeCount {
     var total = 0L
     var i = 0
     while (i < n) {
-      if (Character.isWhitespace(s.charAt(i))) i += 1
+      if (isWs(s.charAt(i))) i += 1
       else {
         var j = i + 1
-        while (j < n && !Character.isWhitespace(s.charAt(j))) j += 1
+        while (j < n && !isWs(s.charAt(j))) j += 1
         total += countWord(mr.ranks,
           s.substring(i, j).toLowerCase(java.util.Locale.ROOT))
         i = j

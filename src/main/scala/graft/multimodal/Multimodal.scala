@@ -63,10 +63,14 @@ object Multimodal {
 
   /** Real image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers are always
     * present). None when the payload is not a decodable image — callers fall back to
-    * the stub rather than failing the partition. */
+    * the stub rather than failing the partition. Catches NonFatal, not just
+    * IOException: ImageIO plugin readers throw unchecked exceptions
+    * (IndexOutOfBoundsException, CMMException, IllegalArgumentException) on malformed
+    * payloads, and the "corrupt bytes never kill the pass" contract must hold for
+    * those too. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /**
    * Downsampled luminance grid, integer-exact: the image is cut into `grid`×`grid`
@@ -77,7 +81,21 @@ object Multimodal {
    * gray value for grayscale pixels — no floating point anywhere, so features are
    * byte-identical across JVMs, parallelism, and the SQL twin.
    */
-  def lumaGridBp(img: java.awt.image.BufferedImage, grid: Int): Array[Long] = {
+  def lumaGridBp(img0: java.awt.image.BufferedImage, grid: Int): Array[Long] = {
+    // Indexed-color images (GIF, palette PNG) decode to TYPE_BYTE_INDEXED where
+    // band 0 is a PALETTE INDEX, not a gray value — expand through the palette
+    // (IndexColorModel palettes are sRGB ints; the lookup is exact, no color-space
+    // transform) before sampling. Everything else samples the raw raster below.
+    val img =
+      if (!img0.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) img0
+      else {
+        val conv = new java.awt.image.BufferedImage(img0.getWidth, img0.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = conv.createGraphics()
+        g.drawImage(img0, 0, 0, null)
+        g.dispose()
+        conv
+      }
     val w = img.getWidth
     val h = img.getHeight
     // raw raster samples, NOT getRGB: getRGB converts through the image's color
@@ -182,8 +200,10 @@ object Multimodal {
         Some(out)
       }
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal, not just the two declared exceptions: framed readers throw
+      // unchecked exceptions (ArrayIndexOutOfBounds, NegativeArraySize) on
+      // malformed headers — corrupt bytes must never kill the partition
+      case scala.util.control.NonFatal(_) => None
     }
 
   /**

@@ -226,6 +226,24 @@ object Materialize {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery FIRST: a crash between the swap's two renames leaves no live
+    // bucket=N directory while _compact_trash/bucket=N (the old copy) and/or
+    // _compact_tmp/bucket=N (the new, verified-content-identical copy) survive.
+    // Restore a missing bucket from trash first (the previously live data), else
+    // tmp — before this run's own rewrites and the end-of-run blanket temp-dir
+    // deletes, which would otherwise destroy the only surviving copies while
+    // _checkpoints still marks the bucket committed.
+    if (fs.exists(root)) for (tdir <- Seq("_compact_trash", "_compact_tmp")) {
+      val d = new org.apache.hadoop.fs.Path(root, tdir)
+      if (fs.exists(d)) fs.listStatus(d)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .foreach { s =>
+          val live = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+          if (!fs.exists(live))
+            require(fs.rename(s.getPath, live),
+              s"compact: could not recover ${s.getPath} to $live")
+        }
+    }
     val buckets =
       if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(root)

@@ -190,9 +190,18 @@ object StreamExtract {
         case (_, rows, state: GroupState[Boolean]) =>
           val batch = rows.toVector
           // sliding TTL anchored on the key's newest event time in this batch
-          // (watermark-relative; batch runs have no watermark → no timers)
+          // (watermark-relative; batch runs have no watermark → no timers).
+          // Clamped strictly after the current watermark — same defense as
+          // latestCaptures below: a key whose newest capture lags the global
+          // watermark by more than the TTL would otherwise compute a timeout
+          // at-or-before the watermark, an IllegalArgumentException that kills
+          // the whole streaming query. A clamped key's state simply becomes
+          // eligible to expire at the next trigger — correct TTL semantics for
+          // data already older than the horizon.
           def renew(): Unit = for (ms <- stateTtlMs if streaming)
-            state.setTimeoutTimestamp(batch.iterator.map(_.warcTs.getTime).max + ms)
+            state.setTimeoutTimestamp(math.max(
+              batch.iterator.map(_.warcTs.getTime).max + ms,
+              state.getCurrentWatermarkMs() + 1))
           if (state.exists) {
             renew()
             Iterator.empty

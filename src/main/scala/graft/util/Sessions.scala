@@ -15,6 +15,13 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ExtractJob's identity count/hash ride the write via Dataset.observe;
+      // observed accumulators count PER SUCCESSFUL TASK ATTEMPT, so speculative
+      // duplicate attempts would inflate the count and self-cancel xor terms.
+      // local[N] never speculates, but the assumption is load-bearing for the
+      // scaling gate's hash_equal check — pin it (a real-cluster deploy that
+      // re-enables speculation must verify identity with a read-back instead).
+      .config("spark.speculation", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

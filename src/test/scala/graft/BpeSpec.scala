@@ -70,4 +70,24 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("MergeRanks(n=60)"), s"opaque holder missing:\n$plan")
   }
+
+  test("bpe_count whitespace predicate == Java-regex \\s (the n_ws tokenizer class)") {
+    // round-4 advice: the kernel used Character.isWhitespace (wider: U+001C-1F,
+    // U+2028) while n_ws splits on Java \s — n_bpe/n_ws drifted on non-ASCII
+    // corpora. Pin char-for-char agreement with the regex class over the BMP.
+    val ws = "\\s".r
+    (0 until 0x3000).foreach { i =>
+      val c = i.toChar
+      assert(graft.functions.BpeCount.isWs(c) == ws.matches(c.toString),
+        f"U+$i%04X")
+    }
+    // and the kernel counts words exactly like a \s+ split on a hostile string
+    import spark.implicits._
+    val hostile = "a\u001Db \u00A0c\td\u000Be\u2028f  g"
+    val n = Seq(hostile).toDF("text")
+      .select(Bpe.countColumn(col("text"), Nil).as("n")).head.getLong(0)
+    val words = hostile.split("\\s+").filter(_.nonEmpty)
+    assert(n == words.map(_.length.toLong).sum,
+      s"kernel words diverge from \\s+ split: ${words.toSeq}")
+  }
 }

@@ -43,6 +43,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(Multimodal.lumaGridBp(img, 2).toSeq == Seq(1372L, 2470L, 3411L, 4509L))
   }
 
+  test("indexed-color GIF (palette image) lumaGrid matches the same image as RGB") {
+    // A GIF decodes to TYPE_BYTE_INDEXED where raster band 0 is a PALETTE INDEX,
+    // not a gray value (round-4 advice): lumaGridBp must expand through the
+    // palette. Encode the synthetic gradient as GIF with the JDK's own writer and
+    // require the grid to equal the PNG (truecolor) grid of the SAME pixels.
+    val id = 42L
+    val rgb = Multimodal.decodeImage(Multimodal.syntheticPng(id, 16, 16)).get
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "gif", bos), "JDK GIF writer missing")
+    val gif = Multimodal.decodeImage(bos.toByteArray).get
+    assert(gif.getColorModel.isInstanceOf[java.awt.image.IndexColorModel],
+      s"fixture did not decode indexed: ${gif.getType}")
+    // the gradient has 256 distinct gray values; GIF palettes hold 256 entries, so
+    // the round trip is lossless and the grids must be IDENTICAL
+    assert(Multimodal.lumaGridBp(gif, 4).toSeq == Multimodal.lumaGridBp(rgb, 4).toSeq)
+  }
+
+  test("decodeImage/decodeWavPcm16 swallow malformed payloads (NonFatal contract)") {
+    // truncated/corrupted headers drive ImageIO plugin readers into unchecked
+    // exceptions on some paths; the contract is None, never a throw
+    val png = Multimodal.syntheticPng(7L, 8, 8)
+    val wav = Multimodal.syntheticWav(7L, 64)
+    for (cut <- Seq(2, 9, 16, 25, png.length - 3)) {
+      val t = java.util.Arrays.copyOf(png, cut)
+      assert(Multimodal.decodeImage(t).isEmpty || cut == png.length - 3,
+        s"truncated png at $cut")
+    }
+    for (i <- 8 until 20) { // scribble over the IHDR length/type fields
+      val bad = png.clone(); bad(i) = 0x7f
+      Multimodal.decodeImage(bad) // must not throw; result may be Some or None
+    }
+    for (cut <- Seq(3, 11, 21, 43)) {
+      val t = java.util.Arrays.copyOf(wav, cut)
+      assert(Multimodal.decodeWavPcm16(t).isEmpty, s"truncated wav at $cut")
+    }
+    for (i <- 4 until 16) {
+      val bad = wav.clone(); bad(i) = -1
+      Multimodal.decodeWavPcm16(bad) // must not throw
+    }
+  }
+
   test("synthetic WAV round trip is sample-exact; frameEnergy matches closed form") {
     val id = 9L
     val n = 2048

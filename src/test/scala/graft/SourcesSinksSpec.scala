@@ -289,6 +289,51 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     assert(Materialize.compact(path, targetFileBytes = 1L << 30)(spark).count() === 0L)
   }
 
+  test("compact: recovers a bucket stranded mid-swap by a crash (no data loss)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = tmpDir() + "/triples_crash"
+    val nB = 4
+    (0 until 2).foreach { g =>
+      val triples = spark.createDataset((0 until 60).map(i =>
+        Triple(s"subj${g * 60 + i}", "p", s"o${g * 60 + i}",
+          s"https://x/${g * 60 + i}", 0, 1, 1L, 1.0)))
+      Materialize.withBucket(triples, nB)
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    }
+    def contentHash(): Long = spark.read.parquet(path)
+      .agg(expr("bit_xor(xxhash64(subj, pred, obj, url, begin, end))"))
+      .head.getLong(0)
+    val hashBefore = contentHash()
+    def mv(from: String, to: String): Unit = {
+      val f = new java.io.File(from); val t = new java.io.File(to)
+      t.getParentFile.mkdirs()
+      assert(f.renameTo(t), s"fixture move failed: $from -> $to")
+    }
+    // crash #1: bucket=1 staged to trash, tmp never swapped in (live dir GONE,
+    // only the trash copy survives)
+    mv(s"$path/bucket=1", s"$path/_compact_trash/bucket=1")
+    // crash #2: bucket=2 staged to trash AND deleted after the tmp copy was
+    // verified, but the tmp->live rename never happened (only the tmp copy
+    // survives). Simulated by moving the live dir to tmp.
+    mv(s"$path/bucket=2", s"$path/_compact_tmp/bucket=2")
+    // plus a STALE tmp leftover for a bucket whose live dir is intact — must be
+    // discarded (cleaned), never restored over live data
+    spark.read.parquet(s"$path/bucket=0").limit(1)
+      .write.parquet(s"$path/_compact_tmp/bucket=0")
+    assert(spark.read.parquet(path).count() < 120, "fixture did not strand buckets")
+
+    // a fresh compact() run must FIRST restore the stranded buckets, then proceed
+    val out = Materialize.compact(path, targetFileBytes = 1L << 30)(spark)
+    assert(contentHash() === hashBefore,
+      "crash recovery lost or duplicated rows")
+    assert(spark.read.parquet(path).count() === 120)
+    assert(!new java.io.File(s"$path/_compact_tmp").exists())
+    assert(!new java.io.File(s"$path/_compact_trash").exists())
+    // recovered buckets are again eligible for (and got) compaction this run
+    assert(out.filter(col("bucket").isin(1, 2)).count() === 2L)
+  }
+
   test("SnapshotStore: optimistic commits never lose updates; snapshot isolation") {
     import spark.implicits._
     import graft.sink.SnapshotStore

@@ -212,6 +212,46 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("dedup with TTL survives very-late triples (hostile timeline: duplicates, " +
+      "3xTTL stragglers, equal-timestamp ties)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def tt(key: String, ts: Long): TimedTriple =
+      TimedTriple(key, "hq-city", "Gotham", s"https://x/$key", 0, 1, 1L, 1.0,
+        new java.sql.Timestamp(ts))
+    val input = MemoryStream[TimedTriple]
+    // TTL = 1 s (doubles as the watermark delay). Batch 1 drives the watermark to
+    // ~99 s; batch 2's rows at event times 1 s / 50 s are > 3xTTL behind it. The
+    // round-4 verdict flagged that dedupedTriples' renew() lacked latestCaptures'
+    // watermark clamp: a key whose newest event time lags the watermark by more
+    // than the TTL would compute setTimeoutTimestamp at-or-before the watermark —
+    // an IllegalArgumentException that kills the whole query. This pins the clamp
+    // (and Spark's pre-state late-row filter) on THIS operator too.
+    val out = StreamExtract.dedupedTriples(input.toDS(), stateTtlMs = Some(1000L))
+    val q = out.writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // equal-timestamp duplicate pair in the first batch: exactly one emission
+      input.addData(tt("k1", 100000L), tt("k1", 100000L))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      assert(spark.table("dedup_ttl").count() === 1L)
+      // 3xTTL stragglers: a brand-new key AND a duplicate of the live key, both
+      // far behind the watermark — neither may emit, and neither may kill the query
+      input.addData(tt("k2", 1000L), tt("k1", 50000L))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died on the straggler batch: ${q.exception}")
+      assert(spark.table("dedup_ttl").count() === 1L,
+        "late straggler leaked an emission")
+      // a live row for the straggler key still flows afterwards
+      input.addData(tt("k2", 200000L))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      assert(spark.table("dedup_ttl").as[TimedTriple].collect()
+        .map(_.subj).toSet === Set("k1", "k2"))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregates by event time and closes windows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -48,9 +48,14 @@ object Bench {
     // CANONICALIZED pre-execution physical plan, so round-over-round plan
     // regressions (a lost broadcast, a new shuffle) are diffable straight from the
     // bench artifact — not only through PlansSpec.
+    // local-iteration filter: SPARK_GRAFT_BENCH_QUERIES=q44_dedup_canon,q45_...
+    // times only the named queries (never set by the driver's full runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(",").toSet)
     val results: Seq[(String, Double, String)] = if (scalingOnly) Seq.empty else {
       val spark = session(cpus)
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = SparkEntry.queries.toSeq
+        .filter(q => only.forall(_.contains(q._1)))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd.count() forces full row materialization — a bare count() would let
         // Catalyst prune every computed column and time an empty scan.
@@ -202,9 +207,14 @@ object Bench {
     // poisons the pair, with best-of-3 the minimum is a far tighter estimator of
     // the undisturbed time. The binding ceiling for a string-streaming job is
     // min(cpu, bandwidth) scaling — both measured in-phase right after the pair.
+    // FIVE pairs (round-5 bump from three): the host's phase noise produced pair
+    // efficiencies as far apart as 0.512/0.991 inside one run — with three pairs a
+    // single stolen phase drags the median; with five, the median needs three bad
+    // phases to move. Wall cost ~2 extra pair windows (~6 min), paid once per round.
     case class Pair(rN: ScaleResult, r4N: ScaleResult, eff: Double,
         cpuCeil: Double, bwCeil: Double, norm: Double)
-    val pairs = (1 to 3).map { _ =>
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_KG_PAIRS", "5").toInt
+    val pairs = (1 to nPairs).map { _ =>
       val rN0 = childRun(4, reps = 3)
       val r4N0 = childRun(16, reps = 3)
       val eff0 = (rN0.sec / r4N0.sec) / 4.0

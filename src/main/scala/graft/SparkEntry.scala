@@ -678,7 +678,11 @@ object SparkEntry {
       val edges = pairs.select(
         lpad(col("id_a").cast("string"), 12, "0").as("src"),
         lpad(col("id_b").cast("string"), 12, "0").as("dst"))
-      graft.canon.ConnectedComponents.run(edges)
+      // the adaptive production entry: fixture-scale pair graphs take the one-task
+      // union-find (identical semantics); the distributed large-star/small-star
+      // rounds engage above the edge threshold and are pinned by the 10^5-degree
+      // mega-hub spec in ConnectedComponentsSpec
+      graft.canon.ConnectedComponents.runAdaptive(edges)
         .select(col("node").cast("long").as("doc_id"),
           col("component").cast("long").as("component"))
     }),
@@ -736,6 +740,64 @@ object SparkEntry {
           id, "audio", graft.multimodal.Multimodal.syntheticWav(id, 2048),
           0, 0, 256L))
       graft.multimodal.Multimodal.audioFrameFeatures(media, grid = 8)
+    }),
+
+    // ---- STREAMING end-to-end: latestCaptures over an out-of-order MemoryStream ----
+    // The streaming family's oracle entry (round-4 verdict: it had zero DuckDB-backed
+    // rows). A deterministic hostile fixture — url u<id> has captures v = 0..id%3;
+    // EVEN ids arrive newest-first (the stragglers are swallowed → exactly 1
+    // emission), ODD ids arrive oldest-first (every capture is a new maximum → m+1
+    // emissions) — is fed through a real Structured Streaming query (MemoryStream →
+    // flatMapGroupsWithState → memory sink), one arrival rank per micro-batch. The
+    // emitted monotone improvement log is then COMPACTED with the batch
+    // latestSnapshot (the operator pair's documented contract). The oracle derives
+    // both the winner (v = id%3) and the emission count (1 or id%3+1) in closed form
+    // from `documents` — replaying neither the state machine nor the aggregate.
+    "q65_stream_latest" -> ((s, d) => {
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      // bounded driver materialization: |documents| rows (500 @ sf0.01, 5k @ sf0.1) —
+      // MemoryStream is inherently driver-fed; the operator under test is distributed
+      val caps: Seq[(Int, graft.model.Page)] =
+        t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+          .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+          .flatMap { case (id, text, lang) =>
+            val m = (id % 3).toInt
+            val order = if (id % 2 == 0) m to 0 by -1 else 0 to m
+            order.zipWithIndex.map { case (v, rank) =>
+              // page text carries text||v so the output h = md5(text||v) — same
+              // content-hash shape as the q57 crawl-history fixture
+              (rank, graft.model.Page(s"u$id", new java.sql.Timestamp(v * 1000L),
+                Array.emptyByteArray, text + v.toString, lang))
+            }
+          }
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Page]
+      // unique sink name: Bench and Verify may run this twice in one session
+      val sink = "q65_emitted_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // exact mode (no TTL): the TTL/watermark edge cases are pinned by
+      // StreamingSpec's hostile-timeline tests; the oracle needs the exact contract
+      val q = graft.streaming.StreamExtract.latestCaptures(input.toDS(), None)(s)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        (0 to 2).foreach { rank =>
+          val batch = caps.collect { case (r, p) if r == rank => p }
+          if (batch.nonEmpty) { input.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      // localCheckpoint: the winner aggregate and the emission count both read the
+      // emitted log — without severing lineage the self-join's sides share memory-sink
+      // attributes and the analyzer rejects the plan. The log is small by contract
+      // (monotone improvement: ≤ captures, ≥ |urls| rows).
+      val emitted = s.table(sink).localCheckpoint()
+      val perUrl = emitted.groupBy(col("url"))
+        .agg(count(lit(1)).cast("long").as("n_emitted"))
+      graft.kg.Temporal.latestSnapshot(
+          emitted.withColumn("v", col("warc_ts").cast("long")), "url", "v")
+        .join(perUrl, Seq("url"))
+        .select(col("url"), col("lang"), col("v"), md5(col("text")).as("h"),
+          col("n_emitted"))
     })
   )
 
@@ -1805,6 +1867,18 @@ object SparkEntry {
                  FROM ids, range(0, 2048) r)
           SELECT media_id, CAST(i * 8 // 2048 AS BIGINT) AS frame,
                  CAST(sum(a) // count(*) AS BIGINT) AS mean_abs
-          FROM sm GROUP BY media_id, i * 8 // 2048"""
+          FROM sm GROUP BY media_id, i * 8 // 2048""",
+
+    // Twin of q65's streaming run, derived ENTIRELY in closed form from documents —
+    // it replays neither the state machine nor the compaction aggregate: the winner
+    // is the max version (id%3 by construction, arrival order irrelevant), and the
+    // emission count follows from the fixture's arrival orders alone (newest-first
+    // even ids emit once; oldest-first odd ids emit every capture, id%3+1).
+    "q65_stream_latest" ->
+      """SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, lang,
+                doc_id % 3 AS v,
+                md5(text || CAST(doc_id % 3 AS VARCHAR)) AS h,
+                CASE WHEN doc_id % 2 = 1 THEN doc_id % 3 + 1 ELSE 1 END AS n_emitted
+         FROM documents"""
   )
 }

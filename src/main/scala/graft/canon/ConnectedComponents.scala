@@ -22,30 +22,40 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  // Both stars use a TWO-PHASE min-aggregate (per-node min as a map-side-combinable
+  // aggregate, joined back to the edge stream) instead of collect_set: a mega-hub —
+  // a 10^5-degree node is routine in a 10^12-edge canonicalization graph — would
+  // materialize its whole neighbour set as one array in one aggregation buffer and
+  // blow the executor. With min+join, per-key state is O(1) and the hub's edges
+  // stream through the join; the groupBy and the join hash-partition by the same key,
+  // so Catalyst reuses one exchange of the symmetric edge list (ReusedExchange).
+
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    sym.groupBy("u")
-      .agg(collect_set(col("v")).as("nbrs"))
-      .withColumn("m", least(col("u"), array_min(col("nbrs"))))
-      .select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("mu"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, sym("u") === mins("mu"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
   }
 
   private def smallStar(edges: DataFrame): DataFrame = {
-    // orient edges so u ≥ v
+    // orient edges so u > v; m = min(Γ≤(u)) — every oriented neighbour is < u, so
+    // the self term in min(Γ≤(u) ∪ {u}) can never win and is dropped
     val oriented = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-    oriented.groupBy("u")
-      .agg(collect_set(col("v")).as("nbrs"))
-      .withColumn("m", array_min(col("nbrs")))
-      .select(col("u"), col("m"), explode(concat(col("nbrs"), array(col("u")))).as("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    val fromNbrs = oriented
+      .join(mins.select(col("u").as("mu"), col("m")), col("u") === col("mu"))
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+    // the u → m pointer itself (u ≠ m always: m < u by orientation)
+    val fromSelf = mins.select(col("u"), col("m").as("v"))
+    fromNbrs.union(fromSelf).distinct()
   }
 
   private def checksum(edges: DataFrame): (Long, Long) = {
@@ -53,6 +63,20 @@ object ConnectedComponents {
     val r = edges.agg(count(lit(1)),
       coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** The same count/xor checksum as an OBSERVATION riding an existing action
+    * (the round's lineage-truncation job), so convergence detection costs zero
+    * extra jobs per round — at fixture scale the per-round job-scheduling floor,
+    * not compute, dominates CC wall-clock. */
+  private def observedChecksum(edges: DataFrame): (DataFrame, () => (Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val df = edges.observe(obs, count(lit(1)).as("cnt"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("xr"))
+    (df, () => {
+      val m = obs.get
+      (m("cnt").asInstanceOf[Long], m("xr").asInstanceOf[Long])
+    })
   }
 
   /** @param edges DataFrame with string columns (src, dst); undirected.
@@ -80,11 +104,14 @@ object ConnectedComponents {
       .union(raw.select(col("v").as("n"))).distinct()
     var e = raw.filter(col("u") =!= col("v"))
     var prev = checksum(e)
-    var converged = e.isEmpty
+    var converged = prev._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = truncate(smallStar(largeStar(e)), iter + 1)
-      val cur = checksum(e)
+      // the convergence checksum rides the truncation job as an observation —
+      // one job per round, not two
+      val (observed, readChecksum) = observedChecksum(smallStar(largeStar(e)))
+      e = truncate(observed, iter + 1)
+      val cur = readChecksum()
       converged = cur == prev
       prev = cur
       iter += 1
@@ -95,5 +122,62 @@ object ConnectedComponents {
     nodes.join(pointers, nodes("n") === pointers("node"), "left")
       .select(col("n").as("node"),
         coalesce(col("component"), col("n")).as("component"))
+  }
+
+  /**
+   * Adaptive entry point: count the distinct edge list first; when it fits in one
+   * task (`smallGraphMaxEdges`), run a single-pass union-find in ONE executor task
+   * instead of O(log n) distributed rounds — identical semantics (node → min node of
+   * its component), but none of the per-round job-scheduling floor that dominates
+   * wall-clock at fixture scale (q44 spent most of its battery seconds on CC round
+   * scheduling over a few hundred pairs). At 100 TB the count says "big" and the
+   * distributed path runs exactly as before; the count itself reuses the cached edge
+   * list the CC pass needs anyway. Union-by-min keeps every tree root the component
+   * minimum, so `find` at the end IS the canonical representative.
+   */
+  def runAdaptive(edges: DataFrame, smallGraphMaxEdges: Long = 1L << 20,
+      maxIter: Int = 25, reliableDir: Option[String] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val raw = edges.select(col("src").as("u"), col("dst").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = raw.count() <= smallGraphMaxEdges
+    val out =
+      if (small)
+        raw.as[(String, String)].coalesce(1)
+          .mapPartitions(localComponents)
+          .toDF("node", "component")
+          .localCheckpoint() // eager: materialize before the cache below is dropped
+      else
+        run(raw.select(col("u").as("src"), col("v").as("dst")), maxIter, reliableDir)
+    // safe either way: the small path just checkpointed; run()'s round-0 truncate
+    // already materialized its own copy of the edge list
+    raw.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver/task-local union-find with union-by-min and path compression: the root
+    * of every tree is the smallest node of its component at all times. */
+  private[canon] def localComponents(
+      it: Iterator[(String, String)]): Iterator[(String, String)] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
+    it.foreach { case (u, v) =>
+      nodes += u; nodes += v
+      if (u != v) {
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+    }
+    nodes.iterator.map(n => (n, find(n)))
   }
 }

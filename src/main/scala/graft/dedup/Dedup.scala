@@ -160,7 +160,10 @@ object Dedup {
     // (lpad alone TRUNCATES ids wider than the pad and orders negatives wrongly.)
     val edges = pairs.select(
       signSafeKey(col("id_a")).as("src"), signSafeKey(col("id_b")).as("dst"))
-    val comp = graft.canon.ConnectedComponents.run(edges)
+    // adaptive: a fixture-scale pair graph runs union-find in one task (identical
+    // node → min-of-component semantics); a 100 TB pair graph takes the distributed
+    // large-star/small-star rounds
+    val comp = graft.canon.ConnectedComponents.runAdaptive(edges)
       .select(signSafeUnkey(col("node")).as("keep_id"),
         signSafeUnkey(col("component")).as("comp"))
     toKeep.join(comp, Seq("keep_id"), "left")

@@ -145,7 +145,7 @@ object KGPipeline {
     val forms = rawTriples.select($"subj".as("form"))
     val edges = EntityLink.candidateEdges(forms, minJaccard = 0.6)
       .select($"src", $"dst")
-    val comp = ConnectedComponents.run(edges)
+    val comp = ConnectedComponents.runAdaptive(edges)
     val canonical = rawTriples.toDF()
       .join(comp, rawTriples("subj") === comp("node"), "left")
       .withColumn("subj2", coalesce(col("component"), col("subj")))
@@ -311,7 +311,7 @@ object KGPipeline {
 
     val forms = rawTriples.select($"subj".as("form"))
     val edges = EntityLink.candidateEdges(forms, minJaccard = 0.6).select($"src", $"dst")
-    val comp = ConnectedComponents.run(edges)
+    val comp = ConnectedComponents.runAdaptive(edges)
     val canonical = rawTriples.toDF()
       .join(comp, rawTriples("subj") === comp("node"), "left")
       .withColumn("subj2", coalesce(col("component"), col("subj")))

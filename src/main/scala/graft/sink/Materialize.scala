@@ -18,6 +18,13 @@ import graft.model.Triple
  * A `_checkpoints` side table records (stage, bucket, rows, hash): a resumed run
  * anti-joins completed buckets and rewrites only the rest — per-partition lineage +
  * metrics per the north rule.
+ *
+ * NOTE: this is the PLAIN-DIRECTORY variant (hive layout readable by any engine, no
+ * manifest indirection). [[TripleStore]] routes the same resumable-write and
+ * compaction semantics through [[SnapshotStore]]'s manifest commit protocol — ONE
+ * commit path adding snapshot isolation, time travel, and vacuum — and is the store
+ * a concurrent/production deployment should use; the dedup/bucket kernels here are
+ * shared by both.
  */
 object Materialize {
 

@@ -70,6 +70,35 @@ final class SnapshotStore(root: String) {
   def commit(df: DataFrame, append: Boolean = true, maxRetries: Int = 50): Long = {
     val token = java.util.UUID.randomUUID().toString
     df.write.parquet(dataDir.resolve(token).toString)
+    commitPaths(Seq(token), drop = if (append) _ => false else _ => true,
+      maxRetries = maxRetries)
+      .getOrElse(sys.error(
+        s"SnapshotStore.commit: lost $maxRetries optimistic races at $root"))
+  }
+
+  /** Staging location for a relative data path — callers that stage their own
+    * layout (e.g. bucket-partitioned writes) write here, then [[commitPaths]]. */
+  def stagePath(rel: String): String = dataDir.resolve(rel).toString
+
+  /**
+   * Lower-level commit primitive (the [[commit]] machinery, factored out for
+   * bucket-granular writers): publish already-staged relative paths as a new
+   * snapshot. Per optimistic attempt, the base is the snapshot that is latest AT
+   * COMMIT TIME with `drop`-matching entries removed (bucket rewrite/compaction
+   * replace their bucket's old entries); `newPaths` are appended.
+   *
+   * `validateReplaced`: compare-and-swap guard — receives the base entries the
+   * `drop` predicate is about to remove, in manifest order; returning false ABORTS
+   * the commit (None) instead of retrying. A compactor passes the entry list it
+   * actually read and rewrote, so a racing writer that replaced the same bucket
+   * between read and commit can never be silently undone (the Iceberg
+   * validation-conflict analog).
+   *
+   * @return Some(version) on success; None when validation rejected the swap.
+   */
+  def commitPaths(newPaths: Seq[String], drop: String => Boolean = _ => false,
+      validateReplaced: Seq[String] => Boolean = _ => true,
+      maxRetries: Int = 50): Option[Long] = {
     var attempt = 0
     while (attempt < maxRetries) {
       // resolve the latest version ONCE per attempt: reading it separately for the
@@ -77,19 +106,21 @@ final class SnapshotStore(root: String) {
       // landing in between silently drops out of the union (a real lost update —
       // caught by the concurrent-appender spec)
       val latest = latestVersion
-      val base = if (append) latest.map(snapshot).getOrElse(Nil) else Nil
+      val all = latest.map(snapshot).getOrElse(Nil)
+      val (replaced, base) = all.partition(drop)
+      if (!validateReplaced(replaced)) return None
       val next = latest.getOrElse(0L) + 1L
-      val body = (base :+ token).mkString("", "\n", "\n")
+      val body = (base ++ newPaths).mkString("", "\n", "\n")
       val tmp = Files.createTempFile(manifestsDir, ".tmp-", ".manifest")
       try {
         Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
         Files.createLink(manifestPath(next), tmp) // atomic claim + complete content
-        return next
+        return Some(next)
       } catch {
         case _: FileAlreadyExistsException => attempt += 1 // lost the race — retry
       } finally Files.deleteIfExists(tmp)
     }
-    sys.error(s"SnapshotStore.commit: lost $maxRetries optimistic races at $root")
+    sys.error(s"SnapshotStore.commitPaths: lost $maxRetries optimistic races at $root")
   }
 
   /** Read snapshot `v` (defaults to latest). Empty DataFrame semantics are the
@@ -109,13 +140,24 @@ final class SnapshotStore(root: String) {
     * formats age-gate this; the test store vacuums everything unreferenced. */
   def vacuum(): Seq[String] = {
     val referenced = versions.flatMap(snapshot).toSet
-    val orphans = ls(dataDir).filterNot(referenced)
-    orphans.foreach { t =>
-      val dir = dataDir.resolve(t)
+    // entries may be whole tokens ("<uuid>", plain commit()) or bucket-granular
+    // ("<uuid>/bucket=N", TripleStore): a token dir survives if ANY entry points
+    // into it; inside a surviving token dir, bucket subdirs no entry references
+    // (compacted-away bucket copies) are vacuumed individually
+    val refTokens = referenced.map(_.split('/').head)
+    def rmTree(dir: Path): Unit = {
       val walk = Files.walk(dir)
       try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally walk.close()
     }
-    orphans
+    val tokenOrphans = ls(dataDir).filterNot(refTokens)
+    tokenOrphans.foreach(t => rmTree(dataDir.resolve(t)))
+    val bucketOrphans = ls(dataDir).filter(refTokens).flatMap { t =>
+      ls(dataDir.resolve(t))
+        .filter(b => b.startsWith("bucket=") && !referenced(s"$t/$b"))
+        .map(b => s"$t/$b")
+    }
+    bucketOrphans.foreach(e => rmTree(dataDir.resolve(e)))
+    tokenOrphans ++ bucketOrphans
   }
 }

@@ -19,6 +19,40 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTest {
     assert(comp("s") === "s")
   }
 
+  test("mega-hub star (10^5-degree node): distributed path completes, no per-node array") {
+    import spark.implicits._
+    // round-4 verdict task #5: collect_set materialized a node's whole neighbour
+    // set in one aggregation buffer — a mega-hub would blow an executor. The
+    // two-phase min-aggregate keeps per-key state O(1); this pins the behavior on
+    // a 100k-leaf star plus a side chain, on the FORCED-DISTRIBUTED path.
+    val leaves = 100000
+    val star = spark.range(leaves).select(
+      org.apache.spark.sql.functions.lit("hub").as("src"),
+      org.apache.spark.sql.functions.format_string("leaf%07d", org.apache.spark.sql.functions.col("id")).as("dst"))
+    val chain = Seq(("leaf0000000", "aaa"), ("aaa", "aab")).toDF("src", "dst")
+    val comp = ConnectedComponents.run(star.union(chain))
+    val roots = comp.select("component").distinct().as[String].collect()
+    assert(roots.toSeq == Seq("aaa"), s"star collapsed wrong: ${roots.toSeq}")
+    assert(comp.count() === leaves.toLong + 3)
+  }
+
+  test("runAdaptive small-graph union-find == distributed rounds (same output)") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("s", "s"),
+      ("q", "p"), ("p", "a"), ("m", "m2"), ("m2", "m")
+    ).toDF("src", "dst")
+    val dist = ConnectedComponents.run(edges)
+      .as[(String, String)].collect().toMap
+    val local = ConnectedComponents.runAdaptive(edges)
+      .as[(String, String)].collect().toMap
+    assert(local === dist)
+    // and the adaptive entry takes the DISTRIBUTED path above the threshold
+    val forced = ConnectedComponents.runAdaptive(edges, smallGraphMaxEdges = 2)
+      .as[(String, String)].collect().toMap
+    assert(forced === dist)
+  }
+
   test("entity linking blocks + jaccard produce expected edges") {
     import spark.implicits._
     val forms = Seq("Acme Corp", "acme corp", "Acme Corp Inc", "Globex Systems")

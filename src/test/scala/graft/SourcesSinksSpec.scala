@@ -334,6 +334,93 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTest {
     assert(out.filter(col("bucket").isin(1, 2)).count() === 2L)
   }
 
+  test("TripleStore: resumable write + vanished-bucket rewrite through ONE manifest path") {
+    import spark.implicits._
+    import graft.sink.TripleStore
+    val ts = new TripleStore(tmpDir() + "/tstore", nBuckets = 4)
+    val triples = spark.createDataset((0 until 200).map(i =>
+      Triple(s"subj$i", "p", s"o$i", s"https://x/$i", 0, 1, 1L, 1.0)))
+    ts.writeResumable(triples)
+    assert(ts.read().count() === 200)
+    assert(ts.committedBuckets() === Set(0, 1, 2, 3))
+    val v1 = ts.store.latestVersion.get
+    // resume with a complete store: nothing staged, no new version
+    ts.writeResumable(triples)
+    assert(ts.store.latestVersion.get === v1, "no-op resume committed a snapshot")
+    // vanished data: delete one bucket's staged dir → that bucket (only) rewrites
+    val victim = ts.store.snapshot(v1).head
+    def rmTree(d: java.io.File): Unit = {
+      Option(d.listFiles()).foreach(_.foreach(rmTree)); d.delete()
+    }
+    rmTree(new java.io.File(ts.store.stagePath(victim)))
+    assert(ts.read().count() < 200)
+    ts.writeResumable(triples)
+    assert(ts.read().count() === 200, "vanished bucket not rewritten")
+    val manifest = ts.store.snapshot(ts.store.latestVersion.get)
+    assert(manifest.size === 4 && !manifest.contains(victim),
+      s"stale entry not replaced: $manifest")
+    // lineage reader view: one latest row per bucket, rows sum to the store
+    val lin = ts.lineage()
+    assert(lin.count() === 4)
+    assert(lin.agg(sum("rows_out")).head.getLong(0) === 200L)
+  }
+
+  test("TripleStore: racing appender + compactor + readers — snapshot isolation, " +
+      "CAS conflict, time travel, vacuum") {
+    import spark.implicits._
+    import graft.sink.TripleStore
+    val ts = new TripleStore(tmpDir() + "/tstore_race", nBuckets = 2)
+    def batch(g: Int) = spark.createDataset((0 until 60).map(i =>
+      Triple(s"s${g * 60 + i}", "p", s"o${g * 60 + i}", s"https://x/${g * 60 + i}",
+        0, 1, 1L, 1.0)))
+    val v1 = ts.append(batch(0))
+    // appender thread: 4 more commits; compactor thread: bin-pack continuously;
+    // reader thread: every observed count must be a multiple of the batch size —
+    // a partial bucket or torn compaction would break that invariant
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val n = ts.read().count()
+        if (n % 60 != 0 || n < 60 || n > 300)
+          bad.compareAndSet(null, s"reader observed partial state: $n rows")
+      }
+    })
+    val compactor = new Thread(() => {
+      while (!stop.get()) { ts.compact(targetFileBytes = 1L << 30); Thread.sleep(5) }
+    })
+    reader.start(); compactor.start()
+    (1 until 5).foreach(g => ts.append(batch(g)))
+    Thread.sleep(200) // let the compactor see the final fragmented state
+    stop.set(true); reader.join(30000); compactor.join(30000)
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(ts.read().count() === 300)
+    // content identical through all compactions
+    def h(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(subj, pred, obj, url))")).head.getLong(0)
+    assert(h(ts.read()) === h((0 until 5).map(batch).reduce(_ union _).toDF()
+      .withColumn("bucket", lit(0))))
+    // a final compact leaves each bucket one entry; idempotent afterwards
+    ts.compact(targetFileBytes = 1L << 30)
+    val finalEntries = ts.store.snapshot(ts.store.latestVersion.get)
+    assert(finalEntries.size === 2, s"not packed: $finalEntries")
+    assert(ts.compact(targetFileBytes = 1L << 30).count() === 0L)
+    // CAS: a compactor holding a stale read set must NOT clobber a newer commit
+    val stale = ts.store.snapshot(ts.store.latestVersion.get)
+      .filter(_.endsWith("bucket=0"))
+    val res = ts.store.commitPaths(Seq("phantom/bucket=0"),
+      drop = _.endsWith("bucket=0"),
+      validateReplaced = _.toSet == Set("some-older-entry/bucket=0"))
+    assert(res.isEmpty, "CAS accepted a stale replacement set")
+    assert(ts.store.snapshot(ts.store.latestVersion.get)
+      .filter(_.endsWith("bucket=0")) === stale)
+    // time travel: v1 still reads exactly the first batch, even after vacuum
+    // (old manifests keep their dirs referenced; only orphans are collected)
+    ts.store.vacuum()
+    assert(ts.read(Some(v1)).count() === 60)
+    assert(ts.read().count() === 300)
+  }
+
   test("SnapshotStore: optimistic commits never lose updates; snapshot isolation") {
     import spark.implicits._
     import graft.sink.SnapshotStore

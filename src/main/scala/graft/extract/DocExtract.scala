@@ -142,6 +142,10 @@ object DocExtract {
     sentCache.clear()
   }
 
+  /** Test-only visibility: the number of live shared sentence passes (PlansSpec pins
+    * that a q30→q32 battery computes the annotate pass ONCE, not per query). */
+  private[graft] def sentenceCacheSize: Int = sentCache.size
+
   /**
    * Run `f` over the (persisted) sentence pass and return its result DETACHED: the
    * result is computed eagerly and re-created as a local relation, so the sentence

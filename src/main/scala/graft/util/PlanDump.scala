@@ -97,7 +97,43 @@ object PlanDump {
     "q61_pos_labels" ->
       """POS labels over the real annotate path: scan → object flatMap (the
         |tokenizer/tagger kernel) — a single narrow stage, ZERO Exchange; at 100 TB
-        |the tag pass rides the ingest scan like every other per-row annotator.""")
+        |the tag pass rides the ingest scan like every other per-row annotator.""",
+    "q45_canonical_url" ->
+      """URL canonicalization (a top-5-cost query in r4): NO join, NO window, a
+        |1-column pruned scan (`ReadSchema: struct<doc_id:bigint>`), and exactly the
+        |distinct-aggregate's two exchanges. The canonicalize chain is per-row; its
+        |higher-order array_sort/filter put the projection on the interpreted path —
+        |acceptable (regex-bound, not eval-bound) and pinned as-is in PlansSpec.
+        |r4's apparent 5.9x regression was adjudicated a host phase: identical plan
+        |fingerprint, 1.26 s when re-measured (BASELINE.md round 5).""",
+    "q36_ann_ivf" ->
+      """IVF ANN (top-5-cost): the codebook is CAPPED (TakeOrderedAndProject =
+        |orderBy+limit maxCentroids) and BROADCAST (BroadcastExchange) for both
+        |assignment passes (the two sanctioned BroadcastNestedLoopJoins — corpus ×
+        |codebook, query × codebook); the in-cell candidate join is an EQUI join on
+        |the cell key (SMJ pre-AQE; AQE converts at runtime when cells are small).""")
+
+  /** Queries whose entries execute eagerly at build (detached local-relation results)
+    * have no buildable end-to-end plan to dump — their scale shapes are pinned by
+    * component in PlansSpec and documented here. */
+  private val eagerNotes: Seq[(String, String)] = Seq(
+    "q44_dedup_canon" ->
+      """Composed dedup → canonical representative. Executes eagerly (adaptive CC);
+        |plan evidence by component: the exact pass is q13's one 32-byte-key shuffle;
+        |the candidate generator is jaccardPairs — pinned in PlansSpec ("q44
+        |interior"): ShuffledHashJoin on the shingle key, WindowGroupLimit posting
+        |cap, ReusedExchange (posting pipeline computed once), no cross join; CC runs
+        |the one-task union-find below 2^20 edges (identical semantics) and the
+        |two-phase-min large-star/small-star rounds above it — per-node state is O(1)
+        |(no collect_set), pinned by ConnectedComponentsSpec's 10^5-degree-hub spec.
+        |r4's 3.6x battery regression adjudicated: host phase + CC round-scheduling
+        |floor at toy scale; with the adaptive path q44 ≈ 3.5 s at sf0.1.""",
+    "q30_pair_stats / q32_eval_scores" ->
+      """Learn/eval statistics battery. Executes eagerly over ONE shared persisted
+        |sentence pass (the annotate fixture is computed once per session — pinned by
+        |PlansSpec "q30→q32"); scoring is a 9-variant tolerance EQUI-join and
+        |map-side-capped pair aggregation (per-doc cap 50 inside the partial
+        |aggregate), so no skewed pattern key can flood the shuffle.""")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -124,6 +160,10 @@ object PlanDump {
       sb.append(s"\n## $name\n\n")
       sb.append(expectation.stripMargin).append("\n\n```\n")
       sb.append(sanitize(formatted.trim)).append("\n```\n")
+    }
+    eagerNotes.foreach { case (name, note) =>
+      sb.append(s"\n## $name (eager — component evidence)\n\n")
+      sb.append(note.stripMargin).append("\n")
     }
 
     Files.writeString(Paths.get(outFile), sb.toString)

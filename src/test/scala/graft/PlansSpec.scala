@@ -187,4 +187,76 @@ class PlansSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("BroadcastHashJoin"),
       s"decontamination lost the broadcast eval side:\n$p")
   }
+
+  // ---- round-5 pins: the top-cost queries (r4 verdict Missing #1) ----
+
+  test("q45: canonicalization is a zero-join narrow chain over a 1-column scan") {
+    val p = formatted("q45_canonical_url")
+    // the canonicalize chain itself is per-row (higher-order array_sort/filter put
+    // the projection on the interpreted path — acceptable: the chain is regex-bound,
+    // not eval-bound); what MUST hold at scale: no join, no window, pruned scan,
+    // and only the distinct-aggregate's two exchanges (partial + merge)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q45 grew a join/window — it must stay a narrow per-row chain + one agg:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"q45 scan reads more than doc_id — column pruning lost:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"q45 grew a third exchange beyond the distinct-agg pair:\n$p")
+  }
+
+  test("q36: IVF codebook stays CAPPED (TakeOrdered) and BROADCAST") {
+    val p = formatted("q36_ann_ivf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q36 codebook cap (orderBy+limit maxCentroids) fell out of the plan — " +
+        s"unbounded centroid set at scale:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"q36 codebook de-broadcast — the corpus would shuffle to meet centroids:\n$p")
+    // the ONLY loop joins allowed are the two centroid-assignment passes (corpus ×
+    // capped codebook, query × capped codebook), both BuildRight on the broadcast
+    // codebook; the in-cell candidate join must stay an EQUI join (SMJ pre-AQE is
+    // fine — AQE converts it at runtime when cells are small)
+    assert("BroadcastNestedLoopJoin Inner BuildRight".r.findAllIn(p).size ==
+      "\\(\\d+\\) BroadcastExchange".r.findAllIn(p).size,
+      s"q36 grew a loop join that is NOT a codebook-assignment pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q36 grew a cartesian product:\n$p")
+  }
+
+  test("q44 interior: jaccardPairs blocks on shared shingles and reuses one exchange") {
+    // q44 itself returns an eagerly-computed relation (adaptive CC); its scale shape
+    // lives in the jaccard pair generator — pin it directly: shuffle_hash self-join
+    // whose two posting subplans are IDENTICAL, capped postings (WindowGroupLimit),
+    // no cross join; the posting pipeline is computed ONCE (ReusedExchange is an AQE
+    // runtime decision → assert on the executed plan, the q24 idiom).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 4, minJaccardBp = 3000L, maxPosting = 1000)
+    val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin"),
+      s"jaccardPairs lost the shuffle_hash hint (SMJ would re-sort both sides):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"jaccardPairs posting cap lost its group-limit pushdown:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"jaccardPairs grew an all-pairs join:\n$p")
+    pairs.collect()
+    val ep = pairs.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      s"jaccardPairs computes the shingle postings twice — ReusedExchange lost:\n$ep")
+  }
+
+  test("q30→q32: the statistics battery shares ONE persisted sentence pass") {
+    // q30/q32 execute eagerly at build (detached results) — their cost shape is the
+    // shared annotate fixture: building both must create exactly one cache entry
+    // (one persisted sentence Dataset), not one per query.
+    graft.extract.DocExtract.clearSentenceCache()
+    try {
+      df("q30_pair_stats")
+      assert(graft.extract.DocExtract.sentenceCacheSize === 1,
+        "q30 did not register the shared sentence pass")
+      df("q32_eval_scores")
+      assert(graft.extract.DocExtract.sentenceCacheSize === 1,
+        "q32 re-derived the sentence pass instead of reusing q30's fixture")
+    } finally graft.extract.DocExtract.clearSentenceCache()
+  }
 }

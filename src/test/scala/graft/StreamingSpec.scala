@@ -212,6 +212,67 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("state expiry then re-arrival: both stateful operators re-emit after the TTL " +
+      "horizon and compaction-at-rest restores the exact contract") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def cap(url: String, ts: Long, text: String): Page =
+      Page(url, new java.sql.Timestamp(ts), Array.emptyByteArray, text, "en")
+    def tt(key: String, ts: Long): TimedTriple =
+      TimedTriple(key, "hq-city", "Gotham", s"https://x/$key", 0, 1, 1L, 1.0,
+        new java.sql.Timestamp(ts))
+    // --- latestCaptures: k1 emits, its state EXPIRES (watermark passes its timeout
+    // and a later batch fires the hasTimedOut path → state.remove), then k1
+    // RE-ARRIVES with a newer live capture: it must re-emit from empty state (not
+    // throw, not drop), and compacting the log still elects the newest capture.
+    val capIn = MemoryStream[Page]
+    val q1 = StreamExtract.latestCaptures(capIn.toDS(), stateTtlMs = Some(1000L))
+      .writeStream.format("memory").queryName("expiry_caps")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      capIn.addData(cap("k1", 10000L, "v1"))
+      q1.processAllAvailable() // k1 state live; timeout armed at ~11 s
+      capIn.addData(cap("other", 1000000L, "x1"))
+      q1.processAllAvailable() // watermark → ~999 s, far past k1's timeout
+      capIn.addData(cap("other", 1001000L, "x2"))
+      q1.processAllAvailable() // k1's hasTimedOut fires here → state.remove
+      capIn.addData(cap("k1", 1002000L, "v2"))
+      q1.processAllAvailable() // re-arrival on EMPTY state: must emit again
+      assert(q1.exception.isEmpty, s"query died: ${q1.exception}")
+      val k1 = spark.table("expiry_caps").as[Page].collect().filter(_.url == "k1")
+      assert(k1.map(_.text).toSeq.sorted == Seq("v1", "v2"),
+        s"expected re-emission after expiry, got ${k1.toSeq}")
+      val winner = graft.kg.Temporal.latestSnapshot(
+        spark.table("expiry_caps"), "url", "warc_ts")
+        .filter(col("url") === "k1").head.getAs[String]("text")
+      assert(winner == "v2", "compaction must elect the newest capture")
+    } finally q1.stop()
+    // --- dedupedTriples: the SAME duplicate key re-emits once its state expired
+    // (the documented TTL tradeoff), and exact dedup-at-rest removes it again.
+    val tIn = MemoryStream[TimedTriple]
+    val q2 = StreamExtract.dedupedTriples(tIn.toDS(), stateTtlMs = Some(1000L))
+      .writeStream.format("memory").queryName("expiry_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      tIn.addData(tt("k1", 10000L))
+      q2.processAllAvailable()
+      tIn.addData(tt("other", 1000000L))
+      q2.processAllAvailable()
+      tIn.addData(tt("other2", 1001000L))
+      q2.processAllAvailable() // k1's timeout fires → state gone
+      tIn.addData(tt("k1", 1002000L)) // duplicate key, state expired → re-emits
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"query died: ${q2.exception}")
+      val log = spark.table("expiry_dedup").as[TimedTriple].collect()
+      assert(log.count(_.subj == "k1") === 2,
+        s"expected the post-expiry duplicate to re-emit: ${log.toSeq}")
+      // dedup at rest (the documented downstream contract) restores exactly-once
+      assert(spark.table("expiry_dedup")
+        .select("subj", "pred", "obj", "url").distinct()
+        .filter(col("subj") === "k1").count() === 1L)
+    } finally q2.stop()
+  }
+
   test("dedup with TTL survives very-late triples (hostile timeline: duplicates, " +
       "3xTTL stragglers, equal-timestamp ties)") {
     import spark.implicits._

@@ -11,9 +11,20 @@ import org.apache.spark.sql.SparkSession
  * between the two parallelism levels and dominate the measurement (observed 2.5×
  * drift on identical work within one long-lived JVM).
  *
- * Usage: ScalingRun <cores> <nPages> [reps=2]
+ * Usage: ScalingRun <cores> <nPages> [reps=3] [patternsFile]
+ *   patternsFile: java-serialized Seq[Pattern] precomputed by the parent (graft.Bench)
+ *   so every child of a bench run extracts with the IDENTICAL pattern set without
+ *   paying the sample-scale learning job per child — learning is untimed either way,
+ *   but a shorter setup narrows the wall-clock gap between the two timed windows of
+ *   a scaling pair, which is what keeps both windows in the same host phase.
  * Prints: {"cores":N,"pages":P,"sec":best,"docs_per_sec":...,"triples":T,"hash":H}
- * A small untimed warmup run JIT-compiles the kernels before measurement.
+ *
+ * Warmup is TIME-bounded (≥10 s cumulative, ≥2 passes), not size-bounded: the round-5
+ * rep logs showed the high-parallelism child finishing its fixed-size setup ~4× sooner
+ * and opening the timed window while C2 compilation was still running — its rep1 read
+ * systematically slow (15.7/26.1/42.7 s vs later-rep mins ~12-16 s at c16) while the
+ * low-parallelism child's rep1 was often its fastest. Equal warmup WALL-CLOCK gives
+ * both children the same JIT steady state.
  */
 object ScalingRun {
 
@@ -21,35 +32,45 @@ object ScalingRun {
     val cores = args(0).toInt
     val nPages = args(1).toInt
     val reps = if (args.length > 2) args(2).toInt else 3
+    val patternsFile = if (args.length > 3) Some(args(3)) else None
 
     implicit val spark: SparkSession = util.Sessions.local(cores, s"graft-scale-c$cores")
 
-    // learn patterns on the fixed gold sample (untimed; learning is sample-scale by design)
-    val patterns = {
-      import spark.implicits._
-      val train = testgen.CorpusGen.pages(200)
-      pipeline.KGPipeline.run(
-        spark.createDataset(train.map(_.page)),
-        spark.createDataset(train.flatMap(testgen.CorpusGen.goldAnnotations)),
-        testgen.CorpusGen.gazetteer).finalPatterns
+    val patterns: Seq[model.Pattern] = patternsFile match {
+      case Some(path) =>
+        val in = new java.io.ObjectInputStream(new java.io.FileInputStream(path))
+        try in.readObject().asInstanceOf[Seq[model.Pattern]] finally in.close()
+      case None =>
+        // standalone usage: learn on the fixed gold sample (untimed; learning is
+        // sample-scale by design — extraction is the corpus-scale path)
+        import spark.implicits._
+        val train = testgen.CorpusGen.pages(200)
+        pipeline.KGPipeline.run(
+          spark.createDataset(train.map(_.page)),
+          spark.createDataset(train.flatMap(testgen.CorpusGen.goldAnnotations)),
+          testgen.CorpusGen.gazetteer).finalPatterns
     }
 
     val pages = testgen.CorpusGen.pagesDS(nPages, partitions = 128)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count() // materialize input outside every timed window
 
-    // warmup: full job shape on a real slice, twice — the extraction kernels must reach
-    // C2-compiled steady state BEFORE the timed window (an interpreted first pass is
-    // ~30× slower; a token 2k-page warmup demonstrably does not trigger compilation of
-    // all hot loops). ONE persisted warmup corpus serves both passes — regenerating
-    // it per pass was pure fixed overhead in every child's wall-clock.
+    // warmup: full job shape on a real slice, repeated until ≥10 s of cumulative wall
+    // (and at least twice) — the extraction kernels must reach C2-compiled steady
+    // state BEFORE the timed window opens, at every parallelism level (see scaladoc).
+    // ONE persisted warmup corpus serves all passes.
     val warm = testgen.CorpusGen.pagesDS(30000, partitions = 32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     warm.count()
-    (1 to 2).foreach { _ =>
+    val wt0 = System.nanoTime()
+    var wpass = 0
+    while (wpass < 2 || (System.nanoTime() - wt0) / 1e9 < 10.0) {
       pipeline.ExtractJob.run(warm, patterns,
         testgen.CorpusGen.gazetteer, s"/tmp/graft_scale_warmup_c$cores")
+      wpass += 1
     }
+    System.err.println(
+      f"[scale] c$cores warmup $wpass passes ${(System.nanoTime() - wt0) / 1e9}%.1fs")
     warm.unpersist(blocking = false)
 
     var best = Double.MaxValue
